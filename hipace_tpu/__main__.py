@@ -1,0 +1,51 @@
+"""CLI entry point: ``python -m hipace_tpu inputs_file [key=value ...]``.
+
+Mirrors the reference executable's interface (ref: /root/reference/src/
+main.cpp:15-25): an inputs deck plus command-line overrides, running
+InitData + Evolve and writing openPMD output.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+
+def main(argv=None):
+    argv = sys.argv[1:] if argv is None else argv
+    if not argv:
+        print("usage: python -m hipace_tpu <inputs_file> [key=value ...]")
+        return 1
+    import jax
+
+    from .parser import Inputs
+    from .pipeline.simulation import Simulation
+
+    inputs = Inputs.from_file(argv[0], overrides=argv[1:])
+    # double precision off-TPU for physics fidelity, f32 on TPU for speed
+    platform = jax.devices()[0].platform
+    if platform == "cpu":
+        jax.config.update("jax_enable_x64", True)
+
+    t0 = time.perf_counter()
+    sim = Simulation(inputs)
+    sim.evolve()
+    wall = time.perf_counter() - t0
+
+    nz = sim.geom.nz
+    n_steps = sim.max_step + 1
+    print(f"Finished Evolve after {wall:.6g} seconds using 1 rank")
+    n_plasma = sum(int(p.ppc[0] * p.ppc[1]) for p in sim.plasma_cfgs) \
+        * sim.geom.nx * sim.geom.ny
+    pushes = (n_plasma * nz + sum(b.num_particles or 0 for b in sim.beam_cfgs)
+              * 1) * n_steps
+    if pushes:
+        print(f"Total time per particle push: {1e9 * wall / pushes:.4g} "
+              "nanoseconds")
+    cells = sim.geom.nx * sim.geom.ny * nz * n_steps
+    print(f"Total time per cell update: {1e9 * wall / cells:.4g} nanoseconds")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

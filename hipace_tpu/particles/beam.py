@@ -1,0 +1,417 @@
+"""Beam particle species: init, per-slice binning, time pusher, deposits.
+
+TPU-native re-design of the reference's beam layer:
+- container/config:  /root/reference/src/particles/beam/BeamParticleContainer.cpp
+- init modes:        /root/reference/src/particles/beam/BeamParticleContainerInit.cpp
+                     (fixed_ppc :119-347, fixed_weight :348-475)
+- z binning:         /root/reference/src/particles/sorting/BoxSort.cpp
+- time pusher:       /root/reference/src/particles/pusher/BeamParticleAdvance.cpp:19-336
+- deposition:        /root/reference/src/particles/deposition/BeamDepositCurrent.cpp
+
+Beam particles are flat (N,) SoA arrays binned into fixed-capacity per-slice
+arrays (nslices, cap) for the zeta lax.scan: the reference's BoxSorter
+becomes a scatter by slice index; variable per-slice counts become a
+validity mask. Momenta are stored as proper velocity u = gamma*beta*c.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+
+from ..constants import PhysConst
+from ..geometry import Geometry
+from ..parser import Inputs
+from ..ops.gather import gather_main_fields
+from ..ops.deposit import deposit_multi
+from .plasma import enforce_particle_bc
+
+
+@dataclasses.dataclass(frozen=True)
+class BeamConfig:
+    name: str = "beam"
+    injection_type: str = "fixed_weight"
+    charge: float = -1.0
+    mass: float = 1.0
+    num_particles: int = 0
+    density: float = 0.0
+    total_charge: float = 0.0            # in units of beam charge * weight
+    profile: str = "gaussian"            # fixed_weight: gaussian | can
+    zmin: float = -float("inf")
+    zmax: float = float("inf")
+    radius: float = float("inf")
+    position_mean: tuple[str, str, float] = ("0.", "0.", 0.0)
+    position_std: tuple[float, float, float] = (0.0, 0.0, 0.0)
+    u_mean: tuple[float, float, float] = (0.0, 0.0, 0.0)
+    u_std: tuple[float, float, float] = (0.0, 0.0, 0.0)
+    duz_per_uz0_dzeta: float = 0.0
+    z_foc: float = 0.0
+    ppc: tuple[int, int, int] = (1, 1, 1)
+    density_expr: str = "1."
+    n_subcycles: int = 10
+    do_z_push: bool = True
+    do_salame: bool = False
+    particle_boundary: str = "Absorbing"
+    dx_per_dzeta: float = 0.0
+
+    @classmethod
+    def from_inputs(cls, inputs: Inputs, name: str, pc: PhysConst,
+                    geom: Geometry, normalized_units: bool) -> "BeamConfig":
+        pp = inputs.prefix(name)
+        pa = inputs.prefix("beams")
+
+        def q(key, default, dtype=None):
+            return pp.query(key, pa.query(key, default, dtype), dtype)
+
+        element = pp.query("element", "electron", str)
+        if element == "electron":
+            charge, mass = -pc.q_e, pc.m_e
+        elif element == "positron":
+            charge, mass = pc.q_e, pc.m_e
+        elif element == "proton":
+            charge, mass = pc.q_e, pc.m_p
+        else:
+            charge, mass = -pc.q_e, pc.m_e
+        mass = pp.query("mass", mass)
+        charge = pp.query("charge", charge)
+
+        injection = pp.get("injection_type", str)
+        profile = pp.query("profile", "gaussian", str)
+        num_particles = pp.query("num_particles", 0, int)
+        density = pp.query("density", 0.0)
+        position_std = tuple(pp.query_list("position_std", [0.0, 0.0, 0.0]))
+        pos_mean = pp.query_list("position_mean", ["0.", "0.", "0."], str)
+
+        # total weight = m_total_charge / charge
+        # (ref BeamParticleContainer.cpp:167-194, Init.cpp:425)
+        total_charge = 0.0
+        if injection in ("fixed_weight", "fixed_weight_pdf"):
+            if pp.contains("total_charge"):
+                total_charge = pp.get("total_charge") / charge
+            else:
+                # peak density -> integrated weight
+                total_charge = density
+                for std in position_std:
+                    total_charge *= std * math.sqrt(2.0 * math.pi)
+                if normalized_units:
+                    total_charge /= geom.dx * geom.dy * geom.dz
+
+        density_expr = "1."
+        f = pp.get_function("density", ("x", "y", "z"))
+        if f is not None:
+            density_expr = f.expr
+
+        return cls(
+            name=name,
+            injection_type=injection,
+            charge=charge, mass=mass,
+            num_particles=num_particles,
+            density=density,
+            total_charge=total_charge,
+            profile=profile,
+            zmin=pp.query("zmin", -float("inf")),
+            zmax=pp.query("zmax", float("inf")),
+            radius=pp.query("radius", float("inf")),
+            position_mean=(str(pos_mean[0]), str(pos_mean[1]),
+                           float(Inputs(f"v = {pos_mean[2]}").get("v"))
+                           if injection != "fixed_ppc" else 0.0),
+            position_std=position_std,
+            u_mean=tuple(pp.query_list("u_mean", [0.0, 0.0, 0.0])),
+            u_std=tuple(pp.query_list("u_std", [0.0, 0.0, 0.0])),
+            duz_per_uz0_dzeta=pp.query("duz_per_uz0_dzeta", 0.0),
+            z_foc=pp.query("z_foc", 0.0),
+            ppc=tuple(pp.query_list("ppc", [1, 1, 1], int)),
+            density_expr=density_expr,
+            n_subcycles=q("n_subcycles", 10, int),
+            do_z_push=q("do_z_push", True, bool),
+            do_salame=pp.query("do_salame", False, bool),
+            particle_boundary=inputs.query("boundary.particle", "Absorbing", str),
+        )
+
+    def mean_fn(self, comp: int):
+        expr = self.position_mean[comp]
+        return Inputs(f"f(z) = {expr}").get_function("f", ("z",))
+
+    def density_fn(self):
+        return Inputs(f"f(x,y,z) = {self.density_expr}").get_function(
+            "f", ("x", "y", "z"))
+
+
+BEAM_ATTRS = ("x", "y", "z", "ux", "uy", "uz", "w")
+
+
+def init_beam(cfg: BeamConfig, geom: Geometry, key, dtype,
+              normalized_units: bool) -> dict:
+    """Initialize the full beam as flat SoA arrays + validity mask."""
+    if cfg.injection_type in ("fixed_weight", "fixed_weight_pdf"):
+        return _init_fixed_weight(cfg, geom, key, dtype)
+    if cfg.injection_type == "fixed_ppc":
+        return _init_fixed_ppc(cfg, geom, dtype, normalized_units)
+    raise NotImplementedError(f"injection_type {cfg.injection_type}")
+
+
+def _init_fixed_weight(cfg: BeamConfig, geom: Geometry, key, dtype) -> dict:
+    n = cfg.num_particles
+    kz, kx, ky, ku = jax.random.split(key, 4)
+    if cfg.profile == "can":
+        z = cfg.zmin + (cfg.zmax - cfg.zmin) * jax.random.uniform(kz, (n,), dtype)
+        z_mean = 0.5 * (cfg.zmin + cfg.zmax)
+    else:
+        z_mean = cfg.position_mean[2]
+        z = z_mean + cfg.position_std[2] * jax.random.normal(kz, (n,), dtype)
+    x = cfg.position_std[0] * jax.random.normal(kx, (n,), dtype)
+    y = cfg.position_std[1] * jax.random.normal(ky, (n,), dtype)
+
+    k0, k1, k2 = jax.random.split(ku, 3)
+    ux = cfg.u_mean[0] + cfg.u_std[0] * jax.random.normal(k0, (n,), dtype)
+    uy = cfg.u_mean[1] + cfg.u_std[1] * jax.random.normal(k1, (n,), dtype)
+    uz = cfg.u_mean[2] + cfg.u_std[2] * jax.random.normal(k2, (n,), dtype)
+    # z-correlated energy chirp (ref GetInitialMomentum.H:47)
+    uz = uz + (z - z_mean) * cfg.duz_per_uz0_dzeta * cfg.u_mean[2]
+
+    valid = ((z >= cfg.zmin) & (z <= cfg.zmax)
+             & (x * x + y * y <= cfg.radius ** 2))
+    # ballistic propagation to focal plane (ref Init.cpp:445-447)
+    x = x - cfg.z_foc * ux / uz
+    y = y - cfg.z_foc * uy / uz
+    x = x + jnp.asarray(cfg.mean_fn(0)(z), dtype)
+    y = y + jnp.asarray(cfg.mean_fn(1)(z), dtype)
+
+    w = jnp.full((n,), cfg.total_charge / max(n, 1), dtype)
+    w = jnp.where(valid, w, 0.0)
+    # momenta stored as proper velocity * c in SI (c=1 normalized)
+    return {"x": x, "y": y, "z": z, "ux": ux, "uy": uy, "uz": uz,
+            "w": w, "valid": valid,
+            "nsub": jnp.zeros((n,), jnp.int32)}
+
+
+def _init_fixed_ppc(cfg: BeamConfig, geom: Geometry, dtype,
+                    normalized_units: bool) -> dict:
+    """Fixed particles-per-cell beam on the full 3D grid
+    (ref BeamParticleContainerInit.cpp:119-347)."""
+    px, py, pz = cfg.ppc
+    nx, ny, nz = geom.n_cell
+    dx, dy, dz = geom.dx, geom.dy, geom.dz
+    # sub-cell offsets
+    ox = (jnp.arange(px) + 0.5) / px
+    oy = (jnp.arange(py) + 0.5) / py
+    oz = (jnp.arange(pz) + 0.5) / pz
+    ix = jnp.arange(nx)
+    iy = jnp.arange(ny)
+    iz = jnp.arange(nz)
+    X = geom.prob_lo[0] + (ix[None, :] + ox[:, None]) * dx  # (px, nx)
+    Y = geom.prob_lo[1] + (iy[None, :] + oy[:, None]) * dy
+    Z = geom.prob_lo[2] + (iz[None, :] + oz[:, None]) * dz
+    Xf = X.reshape(-1)
+    Yf = Y.reshape(-1)
+    Zf = Z.reshape(-1)
+    x, y, z = [a.reshape(-1).astype(dtype) for a in
+               jnp.meshgrid(Xf, Yf, Zf, indexing="ij")]
+
+    prof = _beam_profile_density(cfg, x, y, z, dtype)
+    valid = ((z >= cfg.zmin) & (z <= cfg.zmax)
+             & (x * x + y * y <= cfg.radius ** 2)
+             & (prof > 0.0))
+    nppc = px * py * pz
+    scale = 1.0 / nppc if normalized_units else dx * dy * dz / nppc
+    w = jnp.where(valid, prof * scale, 0.0)
+    n = x.size
+    ux = jnp.full((n,), cfg.u_mean[0], dtype)
+    uy = jnp.full((n,), cfg.u_mean[1], dtype)
+    uz = jnp.full((n,), cfg.u_mean[2], dtype)
+    return {"x": x, "y": y, "z": z, "ux": ux, "uy": uy, "uz": uz,
+            "w": w, "valid": valid, "nsub": jnp.zeros((n,), jnp.int32)}
+
+
+def _beam_profile_density(cfg, x, y, z, dtype):
+    if cfg.profile == "flattop":
+        return jnp.full_like(x, cfg.density)
+    if cfg.profile == "gaussian":
+        mx = jnp.asarray(cfg.mean_fn(0)(z), dtype)
+        my = jnp.asarray(cfg.mean_fn(1)(z), dtype)
+        mz = cfg.position_mean[2]
+        sx, sy, sz = cfg.position_std
+        arg = jnp.zeros_like(x)
+        if sx > 0:
+            arg = arg + (x - mx) ** 2 / (2 * sx ** 2)
+        if sy > 0:
+            arg = arg + (y - my) ** 2 / (2 * sy ** 2)
+        if sz > 0:
+            arg = arg + (z - mz) ** 2 / (2 * sz ** 2)
+        return cfg.density * jnp.exp(-arg)
+    if cfg.profile == "parsed":
+        return jnp.asarray(cfg.density_fn()(x, y, z), dtype)
+    raise NotImplementedError(f"beam profile {cfg.profile}")
+
+
+# ----------------------------------------------------------------------
+def slice_index(z, geom: Geometry):
+    """Beam slice binning (ref BoxSort.cpp:40-46): floor((z - lo_z)/dz)."""
+    return jnp.floor((z - geom.prob_lo[2]) / geom.dz).astype(jnp.int32)
+
+
+def bin_beam(beam: dict, geom: Geometry, cap: int) -> dict:
+    """Scatter the flat beam into per-slice fixed-capacity arrays.
+
+    Returns dict of (nz, cap) arrays with a 'valid' mask. Particles beyond a
+    slice's capacity or outside the z domain are dropped (counted in
+    'n_dropped'). The TPU equivalent of BoxSorter's counting sort.
+    """
+    nz = geom.nz
+    isl = slice_index(beam["z"], geom)
+    ok = beam["valid"] & (isl >= 0) & (isl < nz)
+    isl_c = jnp.where(ok, isl, nz)  # overflow bucket
+    # rank within slice: stable ordering by position in the flat array
+    order = jnp.argsort(isl_c, stable=True)
+    isl_sorted = isl_c[order]
+    # position within the run of equal slice indices
+    idx = jnp.arange(isl_sorted.size)
+    # start offset of each slice via searchsorted
+    starts = jnp.searchsorted(isl_sorted, jnp.arange(nz + 1))
+    rank = idx - starts[jnp.clip(isl_sorted, 0, nz)]
+    keep = (rank < cap) & (isl_sorted < nz)
+    dst = jnp.where(keep, isl_sorted * cap + rank, nz * cap)  # drop bucket
+
+    out = {}
+    for k in BEAM_ATTRS + ("nsub",):
+        src = beam[k][order]
+        flat = jnp.zeros((nz * cap + 1,), src.dtype).at[dst].set(src)
+        out[k] = flat[:-1].reshape(nz, cap)
+    vsrc = ok[order]
+    vflat = jnp.zeros((nz * cap + 1,), bool).at[dst].set(vsrc & keep)
+    out["valid"] = vflat[:-1].reshape(nz, cap)
+    out["n_dropped"] = jnp.sum(ok) - jnp.sum(out["valid"])
+    return out
+
+
+def unbin_beam(binned: dict) -> dict:
+    """Flatten per-slice arrays back to flat SoA (drop the slice structure)."""
+    out = {}
+    for k in BEAM_ATTRS + ("nsub",):
+        out[k] = binned[k].reshape(-1)
+    out["valid"] = binned["valid"].reshape(-1)
+    return out
+
+
+# ----------------------------------------------------------------------
+def advance_beam_slice(bp: dict, fields: dict, geom: Geometry,
+                       cfg: BeamConfig, pc: PhysConst, dt, min_z,
+                       order: int = 2, external_fields=None,
+                       time=0.0):
+    """Push beam particles of one slice forward in time by dt
+    (ref BeamParticleAdvance.cpp:19-336). Subcycled leapfrog-like push.
+
+    bp: dict of (cap,) arrays. min_z: lower zeta edge of this slice —
+    particles that slip below stop being pushed (their remaining subcycles
+    continue when their new slice is processed; the resume counter is
+    carried in 'nsub').
+    """
+    n_sub = cfg.n_subcycles
+    dt = dt / n_sub
+    clight = pc.c
+    inv_c2 = 1.0 / (pc.c * pc.c)
+    q_m = cfg.charge / cfg.mass
+
+    x, y, z = bp["x"], bp["y"], bp["z"]
+    ux, uy, uz = bp["ux"], bp["uy"], bp["uz"]
+    w, valid = bp["w"], bp["valid"]
+    nsub0 = bp["nsub"]
+
+    stopped = jnp.zeros_like(valid)
+    nsub_out = nsub0
+
+    for i in range(n_sub):
+        # resume semantics: only particles with nsub0 <= i and not stopped
+        slipped = z < min_z
+        active = valid & (nsub0 <= i) & ~stopped & ~slipped
+        stopped = stopped | (slipped & valid & (nsub0 <= i))
+
+        gam_inv = 1.0 / jnp.sqrt(1.0 + (ux * ux + uy * uy + uz * uz) * inv_c2)
+        xh = x + dt * 0.5 * ux * gam_inv
+        yh = y + dt * 0.5 * uy * gam_inv
+        xh, yh, ux_b, uy_b, w_b, val_b = enforce_particle_bc(
+            xh, yh, ux, uy, w, valid, geom, cfg.particle_boundary)
+
+        exmby, eypbx, ez, bx, by, bz = gather_main_fields(
+            xh, yh, fields["Psi"], fields["Ez"], fields["Bx"], fields["By"],
+            fields["Bz"], geom, order)
+        if external_fields is not None:
+            exmby, eypbx, ez, bx, by, bz = external_fields(
+                xh, yh, z, time, clight, exmby, eypbx, ez, bx, by, bz)
+
+        ux_next = ux_b + dt * q_m * (exmby + (clight - uz * gam_inv) * by
+                                     + uy_b * gam_inv * bz)
+        uy_next = uy_b + dt * q_m * (eypbx + (uz * gam_inv - clight) * bx
+                                     - ux_b * gam_inv * bz)
+        ux_mid = 0.5 * (ux_next + ux_b)
+        uy_mid = 0.5 * (uy_next + uy_b)
+        uz_mid = uz + dt * 0.5 * q_m * ez
+        gam_mid_inv = 1.0 / jnp.sqrt(
+            1.0 + (ux_mid ** 2 + uy_mid ** 2 + uz_mid ** 2) * inv_c2)
+        uz_next = uz + dt * q_m * (ez + (ux_mid * by - uy_mid * bx) * gam_mid_inv)
+
+        gam_next_inv = 1.0 / jnp.sqrt(
+            1.0 + (ux_next ** 2 + uy_next ** 2 + uz_next ** 2) * inv_c2)
+        xn = xh + dt * 0.5 * ux_next * gam_next_inv
+        yn = yh + dt * 0.5 * uy_next * gam_next_inv
+        zn = z + dt * (uz_next * gam_next_inv - clight) if cfg.do_z_push else z
+
+        x = jnp.where(active, xn, x)
+        y = jnp.where(active, yn, y)
+        z = jnp.where(active, zn, z)
+        ux = jnp.where(active, ux_next, ux)
+        uy = jnp.where(active, uy_next, uy)
+        uz = jnp.where(active, uz_next, uz)
+        w = jnp.where(active, w_b, w)
+        valid = jnp.where(active, val_b, valid)
+        nsub_out = jnp.where(active, i + 1, nsub_out)
+
+    # completed particles reset their counter for the next step
+    done = nsub_out >= n_sub
+    nsub_out = jnp.where(done, 0, nsub_out)
+
+    out = dict(bp)
+    out.update(x=x, y=y, z=z, ux=ux, uy=uy, uz=uz, w=w, valid=valid,
+               nsub=nsub_out)
+    return out
+
+
+def deposit_beam_slice(bp: dict, comp_map: dict, fields: dict,
+                       geom: Geometry, cfg: BeamConfig, pc: PhysConst,
+                       order: int, normalized_units: bool,
+                       skip_slipped_min_z=None):
+    """Deposit beam currents (ref BeamDepositCurrent.cpp:60-200).
+
+    comp_map maps quantity -> destination field name, e.g.
+    {"jz": "jz_beam"} with quantities in {jx, jy, jz, rhomjz}. Slipped
+    particles (z < skip_slipped_min_z, already deposited on their original
+    slice) are excluded when given.
+    """
+    clight_inv = 1.0 / pc.c
+    clight_sq = 1.0 / (pc.c * pc.c)
+    invvol = 1.0 if normalized_units else 1.0 / (geom.dx * geom.dy * geom.dz)
+
+    ux, uy, uz = bp["ux"], bp["uy"], bp["uz"]
+    gam_inv = 1.0 / jnp.sqrt(1.0 + (ux * ux + uy * uy + uz * uz) * clight_sq)
+    mask = bp["valid"]
+    if skip_slipped_min_z is not None:
+        mask = mask & (bp["z"] >= skip_slipped_min_z)
+    wq = jnp.where(mask, cfg.charge * bp["w"] * invvol, 0.0)
+    vx, vy, vz = ux * gam_inv, uy * gam_inv, uz * gam_inv
+    values = {
+        "jx": wq * vx,
+        "jy": wq * vy,
+        "jz": wq * vz,
+        "rhomjz": wq * (1.0 - vz * clight_inv),
+    }
+    quantities = list(comp_map.keys())
+    stack = jnp.stack([fields[comp_map[q]] for q in quantities])
+    stack = deposit_multi(stack, bp["x"], bp["y"],
+                          [values[q] for q in quantities], geom, order)
+    out = dict(fields)
+    for i, q in enumerate(quantities):
+        out[comp_map[q]] = stack[i]
+    return out

@@ -1,0 +1,483 @@
+"""Plasma particle species: fixed-capacity SoA arrays, zeta pusher, deposits.
+
+TPU-native re-design of the reference's plasma layer:
+- container & init:  /root/reference/src/particles/plasma/PlasmaParticleContainer{.cpp,Init.cpp}
+- zeta pusher:       /root/reference/src/particles/pusher/PlasmaParticleAdvance.cpp:29-305
+                     and PushPlasmaParticles.H:39-75
+- current deposit:   /root/reference/src/particles/deposition/PlasmaDepositCurrent.cpp
+- explicit Sx/Sy:    /root/reference/src/particles/deposition/ExplicitDeposition.cpp
+
+Particles live in flat (N,) jnp arrays carried through the zeta lax.scan.
+The reference's 2nd-order dual-number correction of the leapfrog
+(PlasmaParticleAdvance.cpp:136-217, utils/DualNumbers.H) is expressed with
+jax.jvp: the dual push is exactly a directional derivative of the momentum
+derivative function along itself.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from ..constants import PhysConst
+from ..geometry import Geometry
+from ..ops.gather import gather_main_fields, gather_laser_aabs
+from ..ops.shape import shape_weights, shape_weights_derivative
+from ..parser import Inputs
+
+
+@dataclasses.dataclass(frozen=True)
+class PlasmaConfig:
+    """Static per-species configuration (hashable, closed over by jit)."""
+    name: str = "plasma"
+    charge: float = -1.0
+    mass: float = 1.0
+    ppc: tuple[int, int] = (1, 1)
+    n_subcycles: int = 1
+    radius: float = float("inf")
+    hollow_core_radius: float = 0.0
+    max_qsa_weighting_factor: float = 35.0
+    neutralize_background: bool = True
+    can_ionize: bool = False
+    init_ion_lev: int = -1
+    u_mean: tuple[float, float, float] = (0.0, 0.0, 0.0)
+    u_std: tuple[float, float, float] = (0.0, 0.0, 0.0)
+    min_density: float = 0.0
+    # boundary handling: "Periodic" | "Reflecting" | "Absorbing"
+    particle_boundary: str = "Periodic"
+    density_expr: str = "1."
+
+    @classmethod
+    def from_inputs(cls, inputs: Inputs, name: str, pc: PhysConst,
+                    particle_boundary: str) -> "PlasmaConfig":
+        pp = inputs.prefix(name)
+        pa = inputs.prefix("plasmas")  # alt prefix shared by all species
+
+        def q(key, default, dtype=None):
+            return pp.query(key, pa.query(key, default, dtype), dtype)
+
+        element = pp.query("element", "electron", str)
+        if element == "electron":
+            charge, mass = -pc.q_e, pc.m_e
+        elif element == "positron":
+            charge, mass = pc.q_e, pc.m_e
+        elif element in ("proton", "H+"):
+            charge, mass = pc.q_e, pc.m_p
+        else:
+            charge, mass = pc.q_e, 0.0  # ion: mass must be given/ionizable
+        mass = pp.query("mass", mass)
+        charge = pp.query("charge", charge)
+        init_ion_lev = pp.query("initial_ion_level", -1, int)
+        can_ionize = pp.query("can_ionize", init_ion_lev >= 0, bool)
+        neutralize = q("neutralize_background", not can_ionize, bool)
+        if init_ion_lev >= 1:
+            charge = abs(charge) * init_ion_lev if charge > 0 else charge * init_ion_lev
+        ppc = tuple(pp.query_list("ppc", pa.query_list("ppc", [1, 1], int), int))
+        density_expr = "1."
+        f = pp.get_function("density", ("x", "y", "z"))
+        if f is None:
+            f = pa.get_function("density", ("x", "y", "z"))
+        if f is not None:
+            density_expr = f.expr
+        return cls(
+            name=name, charge=charge, mass=mass, ppc=ppc,
+            n_subcycles=q("n_subcycles", 1, int),
+            radius=q("radius", float("inf")),
+            hollow_core_radius=q("hollow_core_radius", 0.0),
+            max_qsa_weighting_factor=q("max_qsa_weighting_factor", 35.0),
+            neutralize_background=neutralize,
+            can_ionize=can_ionize, init_ion_lev=init_ion_lev,
+            u_mean=tuple(pp.query_list("u_mean", [0.0, 0.0, 0.0])),
+            u_std=tuple(pp.query_list("u_std", [0.0, 0.0, 0.0])),
+            min_density=q("min_density", 0.0),
+            particle_boundary=particle_boundary,
+            density_expr=density_expr,
+        )
+
+    def density_fn(self) -> Callable:
+        from ..parser import Inputs as _I
+        return _I(f"d(x,y,z) = {self.density_expr}").get_function(
+            "d", ("x", "y", "z"))
+
+
+def init_plasma(cfg: PlasmaConfig, geom: Geometry, key, dtype,
+                c_t: float = 0.0) -> dict:
+    """Initialize the slice plasma population (ref PlasmaParticleContainerInit.cpp:17-378).
+
+    Fixed ppc per transverse cell; weight = density / num_ppc (normalized
+    units) evaluated at the particle position. Returns flat SoA dict; the
+    particle count is static: nx*ny*ppc with a validity mask for density /
+    radius cuts.
+    """
+    nx, ny = geom.nx, geom.ny
+    px, py = cfg.ppc
+    nppc = px * py
+    dx, dy = geom.dx, geom.dy
+
+    ix = jnp.arange(nx)
+    iy = jnp.arange(ny)
+    sx = (jnp.arange(px) + 0.5) / px
+    sy = (jnp.arange(py) + 0.5) / py
+    # ordering: ppc slowest (like the reference: particles in the same cell
+    # are far apart in memory, Init.cpp:189-192), then y, then x fastest
+    X = geom.prob_lo[0] + (ix[None, None, None, :] + sx[:, None, None, None]) * dx
+    Y = geom.prob_lo[1] + (iy[None, None, :, None] + sy[None, :, None, None]) * dy
+    x = jnp.broadcast_to(X, (px, py, ny, nx)).reshape(-1).astype(dtype)
+    y = jnp.broadcast_to(Y, (px, py, ny, nx)).reshape(-1).astype(dtype)
+    n = x.size
+
+    dens_fn = cfg.density_fn()
+    dens = jnp.asarray(dens_fn(x, y, jnp.full_like(x, c_t)), dtype=dtype)
+    dens = jnp.broadcast_to(dens, x.shape)
+    rsq = x * x + y * y
+    valid = ((dens > cfg.min_density)
+             & (rsq <= cfg.radius ** 2)
+             & (rsq >= cfg.hollow_core_radius ** 2))
+    w = jnp.where(valid, dens / nppc, 0.0)
+
+    if any(s != 0.0 for s in cfg.u_std):
+        kx, ky, kz = jax.random.split(key, 3)
+        u0 = cfg.u_mean[0] + cfg.u_std[0] * jax.random.normal(kx, (n,), dtype)
+        u1 = cfg.u_mean[1] + cfg.u_std[1] * jax.random.normal(ky, (n,), dtype)
+        u2 = cfg.u_mean[2] + cfg.u_std[2] * jax.random.normal(kz, (n,), dtype)
+    else:
+        u0 = jnp.full((n,), cfg.u_mean[0], dtype)
+        u1 = jnp.full((n,), cfg.u_mean[1], dtype)
+        u2 = jnp.full((n,), cfg.u_mean[2], dtype)
+
+    psi = jnp.sqrt(1.0 + u0 * u0 + u1 * u1 + u2 * u2) - u2
+    ion_lev = jnp.full((n,), max(cfg.init_ion_lev, 1), jnp.int32)
+    # u stored as proper velocity (* c), ref Init.cpp:296-297
+    return {
+        "x": x, "y": y, "w": w,
+        "ux": u0, "uy": u1, "psi": psi,
+        "x_prev": x, "y_prev": y,
+        "ux_half": u0, "uy_half": u1, "psi_half": psi,
+        "ion_lev": ion_lev, "valid": valid,
+    }
+
+
+# ----------------------------------------------------------------------
+def _momentum_derivative(ux, uy, psi_inv, exmby, eypbx, ez, bx_c, by_c, bz,
+                         aabssq, aabssq_dx, aabssq_dy, clight_inv, q_m_c):
+    """PlasmaMomentumPush (ref PushPlasmaParticles.H:39-75), vectorized."""
+    gamma_psi = 0.5 * psi_inv * psi_inv * (
+        1.0 + aabssq
+        + ux * ux * clight_inv * clight_inv
+        + uy * uy * clight_inv * clight_inv) + 0.5
+    dz_ux = (q_m_c * (gamma_psi * exmby + by_c + uy * bz * psi_inv)
+             - aabssq_dx * psi_inv)
+    dz_uy = (q_m_c * (gamma_psi * eypbx - bx_c - ux * bz * psi_inv)
+             - aabssq_dy * psi_inv)
+    dz_psi = (q_m_c * clight_inv *
+              ((ux * exmby + uy * eypbx) * clight_inv * psi_inv - ez))
+    return dz_ux, dz_uy, dz_psi
+
+
+def _second_order_substep(ux, uy, psi, sdz, fields, clight_inv, q_m_c):
+    """One leapfrog substep with the dual-number 2nd-order correction
+    (ref PlasmaParticleAdvance.cpp:148-168) via jax.jvp."""
+    exmby, eypbx, ez, bx_c, by_c, bz, a2, a2dx, a2dy = fields
+
+    def deriv(u):
+        uxx, uyy, psv = u
+        return jnp.stack(_momentum_derivative(
+            uxx, uyy, 1.0 / psv, exmby, eypbx, ez, bx_c, by_c, bz,
+            a2, a2dx, a2dy, clight_inv, q_m_c))
+
+    u = jnp.stack([ux, uy, psi])
+    d = deriv(u)
+    _, d2 = jax.jvp(deriv, (u,), (d,))
+    u = u + sdz * d + 0.5 * sdz * sdz * d2
+    return u[0], u[1], u[2]
+
+
+def enforce_particle_bc(x, y, ux, uy, w, valid, geom: Geometry, mode: str):
+    """Transverse particle boundary (ref GetAndSetPosition.H:31-101)."""
+    lo0, lo1 = geom.prob_lo[0], geom.prob_lo[1]
+    hi0, hi1 = geom.prob_hi[0], geom.prob_hi[1]
+    out = (x < lo0) | (x > hi0) | (y < lo1) | (y > hi1)
+    if mode == "Periodic":
+        lx, ly = hi0 - lo0, hi1 - lo1
+        x = jnp.where(out, lo0 + jnp.mod(x - lo0, lx), x)
+        y = jnp.where(out, lo1 + jnp.mod(y - lo1, ly), y)
+        return x, y, ux, uy, w, valid
+    if mode == "Reflecting":
+        lx, ly = hi0 - lo0, hi1 - lo1
+        xm = jnp.mod(x - lo0, 2 * lx)
+        refx = xm > lx
+        xn = jnp.where(refx, 2 * lx - xm, xm) + lo0
+        uxn = jnp.where(refx, -ux, ux)
+        ym = jnp.mod(y - lo1, 2 * ly)
+        refy = ym > ly
+        yn = jnp.where(refy, 2 * ly - ym, ym) + lo1
+        uyn = jnp.where(refy, -uy, uy)
+        x = jnp.where(out, xn, x)
+        y = jnp.where(out, yn, y)
+        ux = jnp.where(out, uxn, ux)
+        uy = jnp.where(out, uyn, uy)
+        return x, y, ux, uy, w, valid
+    # Absorbing
+    w = jnp.where(out, 0.0, w)
+    valid = valid & ~out
+    return x, y, ux, uy, w, valid
+
+
+def advance_plasma(p: dict, fields: dict, geom: Geometry, cfg: PlasmaConfig,
+                   pc: PhysConst, temp_slice: bool, order: int = 2,
+                   use_laser: bool = False):
+    """Advance plasma particles one zeta slice
+    (ref PlasmaParticleAdvance.cpp:29-305, leapfrog path).
+
+    fields: dict with padded slice arrays Psi, Ez, Bx, By, Bz (+ aabs).
+    Returns the updated particle dict.
+    """
+    clight = pc.c
+    clight_inv = 1.0 / pc.c
+    q_m_c = cfg.charge / (cfg.mass * pc.c)
+    laser_norm = ((cfg.charge / pc.q_e) * (pc.m_e / cfg.mass)) ** 2
+    dz = geom.dz / cfg.n_subcycles
+
+    x = p["x"]
+    y = p["y"]
+    xprev, yprev = p["x_prev"], p["y_prev"]
+    ux_h, uy_h, psi_h = p["ux_half"], p["uy_half"], p["psi_half"]
+    valid = p["valid"]
+    w = p["w"]
+
+    if cfg.can_ionize:
+        ion = p["ion_lev"].astype(x.dtype)
+        q_m_c_p = q_m_c * ion
+        laser_norm_p = laser_norm * ion * ion
+    else:
+        q_m_c_p = q_m_c
+        laser_norm_p = laser_norm
+
+    for _ in range(cfg.n_subcycles):
+        exmby, eypbx, ez, bx, by, bz = gather_main_fields(
+            xprev, yprev, fields["Psi"], fields["Ez"], fields["Bx"],
+            fields["By"], fields["Bz"], geom, order)
+        bx_c = bx * clight
+        by_c = by * clight
+        if use_laser:
+            a2, a2dx, a2dy = gather_laser_aabs(xprev, yprev, fields["aabs"],
+                                               geom, order)
+            a2 = a2 * 0.5 * laser_norm_p
+            a2dx = a2dx * 0.25 * clight * laser_norm_p
+            a2dy = a2dy * 0.25 * clight * laser_norm_p
+        else:
+            a2 = a2dx = a2dy = jnp.zeros_like(x)
+        fvals = (exmby, eypbx, ez, bx_c, by_c, bz, a2, a2dx, a2dy)
+
+        # full momentum push t-1/2 -> t+1/2 in 4 substeps
+        nsub = 4
+        sdz = dz / nsub
+        ux, uy, psi = ux_h, uy_h, psi_h
+        for _s in range(nsub):
+            ux, uy, psi = _second_order_substep(ux, uy, psi, sdz, fvals,
+                                                clight_inv, q_m_c_p)
+        # position push t -> t+1 with momentum at t+1/2
+        xnew = xprev + dz * clight_inv * (ux / psi)
+        ynew = yprev + dz * clight_inv * (uy / psi)
+        xnew, ynew, ux, uy, w, valid = enforce_particle_bc(
+            xnew, ynew, ux, uy, w, valid, geom, cfg.particle_boundary)
+        x, y = xnew, ynew
+        if not temp_slice:
+            ux_h, uy_h, psi_h = ux, uy, psi
+            xprev, yprev = x, y
+        # half momentum push t+1/2 -> t+1 (deposit values only)
+        for _s in range(nsub // 2):
+            ux, uy, psi = _second_order_substep(ux, uy, psi, sdz, fvals,
+                                                clight_inv, q_m_c_p)
+
+    out = dict(p)
+    out.update(x=x, y=y, w=w, valid=valid, ux=ux, uy=uy, psi=psi)
+    if not temp_slice:
+        out.update(x_prev=xprev, y_prev=yprev,
+                   ux_half=ux_h, uy_half=uy_h, psi_half=psi_h)
+    return out
+
+
+# ----------------------------------------------------------------------
+def deposit_plasma(p: dict, stack_comps: list[str], fields: dict,
+                   geom: Geometry, cfg: PlasmaConfig, pc: PhysConst,
+                   order: int, normalized_units: bool,
+                   use_laser: bool = False, which: str = "This",
+                   flip_charge: bool = False):
+    """Deposit plasma currents/densities (ref PlasmaDepositCurrent.cpp:22-257).
+
+    stack_comps: subset of ["jx","jy","jz","rho","chi","rhomjz"] to deposit.
+    fields: dict name->(NY,NX); modified copies are returned along with the
+    per-particle QSA-violation mask applied to the weights.
+    """
+    charge = -cfg.charge if flip_charge else cfg.charge
+    clight = pc.c
+    clight_inv = 1.0 / pc.c
+    invvol = 1.0 if normalized_units else 1.0 / (geom.dx * geom.dy * geom.dz)
+
+    x, y = p["x"], p["y"]
+    psi_inv = 1.0 / p["psi"]
+    vx_c = p["ux"] * psi_inv
+    vy_c = p["uy"] * psi_inv
+
+    q_invvol = charge * invvol * p["w"]
+    q_mu0_m = charge * pc.mu0 / cfg.mass
+    laser_norm = ((charge / pc.q_e) * (pc.m_e / cfg.mass)) ** 2
+    if cfg.can_ionize:
+        ion = p["ion_lev"].astype(x.dtype)
+        q_invvol = q_invvol * ion
+        q_mu0_m = q_mu0_m * ion
+        laser_norm = laser_norm * ion * ion
+
+    if use_laser:
+        a2, _, _ = gather_laser_aabs(x, y, fields["aabs"], geom, order)
+        a2 = a2 * laser_norm
+    else:
+        a2 = jnp.zeros_like(x)
+
+    gamma_psi = 0.5 * ((1.0 + 0.5 * a2) * psi_inv * psi_inv
+                       + vx_c * vx_c * clight_inv ** 2
+                       + vy_c * vy_c * clight_inv ** 2 + 1.0)
+
+    # QSA violation: zero the weight and invalidate
+    # (ref PlasmaDepositCurrent.cpp:197-204)
+    bad = ((gamma_psi < 0.0) | (gamma_psi > cfg.max_qsa_weighting_factor)
+           | (psi_inv < 0.0))
+    wmask = jnp.where(p["valid"] & ~bad, 1.0, 0.0).astype(x.dtype)
+    q_invvol = q_invvol * wmask
+
+    values = {
+        "jx": q_invvol * vx_c,
+        "jy": q_invvol * vy_c,
+        "jz": q_invvol * (gamma_psi - 1.0) * clight,
+        "rho": q_invvol * gamma_psi,
+        "chi": q_invvol * q_mu0_m * psi_inv,
+        "rhomjz": q_invvol,
+    }
+
+    from ..ops.deposit import deposit_multi
+    stack = jnp.stack([fields[c] for c in stack_comps])
+    stack = deposit_multi(stack, x, y, [values[c] for c in stack_comps],
+                          geom, order)
+    out_fields = dict(fields)
+    for i, c in enumerate(stack_comps):
+        out_fields[c] = stack[i]
+
+    new_p = dict(p)
+    new_p["w"] = p["w"] * wmask
+    new_p["valid"] = p["valid"] & ~bad
+    return out_fields, new_p
+
+
+def explicit_deposition(p: dict, fields: dict, geom: Geometry,
+                        cfg: PlasmaConfig, pc: PhysConst, order: int,
+                        deriv_type: int, normalized_units: bool,
+                        use_laser: bool = False):
+    """Deposit Sx, Sy source terms for the explicit Bx/By solve
+    (WAND-PIC algorithm; ref ExplicitDeposition.cpp:20-263).
+
+    Gathers Ez, Bz, ExmBy, EypBx *per stencil cell* (not interpolated to the
+    particle) while scattering, using fused derivative shape factors.
+    """
+    clight = pc.c
+    clight_inv = 1.0 / pc.c
+    invvol = 1.0 if normalized_units else 1.0 / (geom.dx * geom.dy * geom.dz)
+    laser_fac = (pc.m_e / pc.q_e) ** 2
+
+    x, y = p["x"], p["y"]
+    psi_inv = 1.0 / p["psi"]
+    vx = p["ux"] * psi_inv * clight_inv
+    vy = p["uy"] * psi_inv * clight_inv
+
+    q_invvol_mu0 = cfg.charge * invvol * pc.mu0
+    q_m = cfg.charge / cfg.mass
+    if cfg.can_ionize:
+        ion = p["ion_lev"].astype(x.dtype)
+        q_invvol_mu0 = q_invvol_mu0 * ion
+        q_m = q_m * ion
+    wmask = jnp.where(p["valid"], p["w"], 0.0)
+    cd_mu0 = q_invvol_mu0 * wmask  # charge_density_mu0
+
+    if use_laser:
+        a2, _, _ = gather_laser_aabs(x, y, fields["aabs"], geom, order)
+        a2 = a2 * laser_fac * q_m * q_m
+    else:
+        a2 = jnp.zeros_like(x)
+    gamma_psi = 0.5 * ((1.0 + 0.5 * a2) * psi_inv * psi_inv
+                       + vx * vx + vy * vy + 1.0)
+
+    G = geom.nguards
+    NY, NX = geom.slice_shape
+    dx_inv, dy_inv = 1.0 / geom.dx, 1.0 / geom.dy
+    xm = (x - geom.x_pos_offset) * dx_inv
+    ym = (y - geom.y_pos_offset) * dy_inv
+    ix0, wx, dwx = shape_weights_derivative(xm, order, deriv_type)
+    iy0, wy, dwy = shape_weights_derivative(ym, order, deriv_type)
+    m = order + deriv_type + 1
+    ii = jnp.clip(ix0[:, None] + jnp.arange(m, dtype=jnp.int32) + G, 0, NX - 1)
+    jj = jnp.clip(iy0[:, None] + jnp.arange(m, dtype=jnp.int32) + G, 0, NY - 1)
+    jj2 = jj[:, :, None]
+    ii2 = ii[:, None, :]
+
+    # per-cell field values (N, m, m)
+    bz_v = fields["Bz"][jj2, ii2]
+    ez_v = fields["Ez"][jj2, ii2]
+    exmby_v = fields["ExmBy"][jj2, ii2]
+    eypbx_v = fields["EypBx"][jj2, ii2]
+
+    s = wy[:, :, None] * wx[:, None, :]
+    s_dx = wy[:, :, None] * dwx[:, None, :]
+    s_dy = dwy[:, :, None] * wx[:, None, :]
+
+    def b(a):
+        return a[:, None, None]
+
+    if use_laser:
+        aab = fields["aabs"]
+        ap1 = aab[jj2, jnp.clip(ii2 + 1, 0, NX - 1)]
+        am1 = aab[jj2, jnp.clip(ii2 - 1, 0, NX - 1)]
+        bp1 = aab[jnp.clip(jj2 + 1, 0, NY - 1), ii2]
+        bm1 = aab[jnp.clip(jj2 - 1, 0, NY - 1), ii2]
+        lf = laser_fac * clight
+        a2dx = jnp.where(s != 0.0, (ap1 - am1) * (0.5 * dx_inv * lf), 0.0)
+        a2dy = jnp.where(s != 0.0, (bp1 - bm1) * (0.5 * dy_inv * lf), 0.0)
+    else:
+        a2dx = a2dy = jnp.zeros_like(s)
+
+    qm_psi = b(q_m * psi_inv)
+    # Sy deposit (ref ExplicitDeposition.cpp:228-242)
+    val_sy = b(cd_mu0) * (
+        - s * (
+            - bz_v * b(vx)
+            + (ez_v * b(vy)
+               + exmby_v * b(-vx * vy)
+               + eypbx_v * (b(gamma_psi) - b(vy * vy))) * clight_inv
+            - 0.25 * a2dy * qm_psi
+        ) * qm_psi
+        + (- s_dx * dx_inv * b(-vx * vy)
+           - s_dy * dy_inv * (b(gamma_psi) - b(vy * vy) - 1.0)) * clight
+    )
+    # Sx deposit (ref ExplicitDeposition.cpp:244-258)
+    val_sx = b(cd_mu0) * (
+        + s * (
+            + bz_v * b(vy)
+            + (ez_v * b(vx)
+               + exmby_v * (b(gamma_psi) - b(vx * vx))
+               + eypbx_v * b(-vx * vy)) * clight_inv
+            - 0.25 * a2dx * qm_psi
+        ) * qm_psi
+        + (+ s_dx * dx_inv * (b(gamma_psi) - b(vx * vx) - 1.0)
+           + s_dy * dy_inv * b(-vx * vy)) * clight
+    )
+
+    lin = (jnp.broadcast_to(jj2, val_sy.shape) * NX
+           + jnp.broadcast_to(ii2, val_sy.shape)).reshape(-1)
+    sy = fields["Sy"].reshape(-1).at[lin].add(val_sy.reshape(-1)).reshape(NY, NX)
+    sx = fields["Sx"].reshape(-1).at[lin].add(val_sx.reshape(-1)).reshape(NY, NX)
+    out = dict(fields)
+    out["Sy"] = sy
+    out["Sx"] = sx
+    return out

@@ -1,0 +1,259 @@
+"""Simulation driver: configuration, the jitted time step, the Evolve loop.
+
+TPU-native re-design of the Hipace driver singleton (ref: /root/reference/
+src/Hipace.cpp:74-554). One full time step — plasma re-init, neutralizing
+background, the zeta-sweep scan, beam re-binning — is a single jitted
+function; the Python loop over time steps handles IO and (later) the
+multi-device pipeline.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import make_constants
+from ..geometry import Geometry
+from ..parser import Inputs
+from ..particles import beam as bm
+from ..particles import plasma as pl
+from ..diagnostics.openpmd import OpenPMDWriter
+from .step import (SimConfig, init_field_state, make_slice_step, empty_slip)
+
+
+class Simulation:
+    """End-to-end simulation (ref main.cpp:15-25: InitData + Evolve)."""
+
+    def __init__(self, inputs: Inputs, dtype=None, verbose: int | None = None):
+        self.inputs = inputs
+        self.normalized_units = inputs.query("hipace.normalized_units", False, bool)
+        self.pc = make_constants(self.normalized_units)
+        if dtype is None:
+            dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        self.dtype = dtype
+
+        depos_order = inputs.query("hipace.depos_order_xy", 2, int)
+        self.geom = Geometry.from_inputs(inputs, depos_order)
+
+        self.max_step = inputs.query("max_step", 0, int)
+        self.dt = inputs.query("hipace.dt", 0.0)
+        self.initial_time = 0.0
+        self.verbose = verbose if verbose is not None else \
+            inputs.query("hipace.verbose", 1, int)
+
+        solver = inputs.query("hipace.bxby_solver", "explicit", str)
+        particle_bc = inputs.query("boundary.particle", "Absorbing", str)
+
+        plasma_names = inputs.query_list("plasmas.names", [], str)
+        if plasma_names == ["no_plasma"]:
+            plasma_names = []
+        self.plasma_cfgs = tuple(
+            pl.PlasmaConfig.from_inputs(inputs, n, self.pc, particle_bc)
+            for n in plasma_names)
+
+        beam_names = inputs.query_list("beams.names", [], str)
+        if beam_names == ["no_beam"]:
+            beam_names = []
+        self.beam_cfgs = tuple(
+            bm.BeamConfig.from_inputs(inputs, n, self.pc, self.geom,
+                                      self.normalized_units)
+            for n in beam_names)
+
+        diag_type = inputs.query("diagnostic.diag_type", "xyz", str)
+        self.diag_type = diag_type
+        self.output_period = inputs.query("diagnostic.output_period", -1, int)
+        field_data = inputs.query_list(
+            "diagnostic.field_data",
+            ["ExmBy", "EypBx", "Ez", "Bx", "By", "Bz", "Psi"], str)
+
+        self.cfg = SimConfig(
+            geom=self.geom,
+            pc=self.pc,
+            normalized_units=self.normalized_units,
+            explicit=(solver == "explicit"),
+            depos_order_xy=depos_order,
+            depos_derivative_type=inputs.query(
+                "hipace.depos_derivative_type", 2, int),
+            do_beam_jx_jy_deposition=inputs.query(
+                "hipace.do_beam_jx_jy_deposition", True, bool),
+            deposit_rho=inputs.query("hipace.deposit_rho", False, bool),
+            do_symmetrize=inputs.query("fields.do_symmetrize", False, bool),
+            predcorr_B_error_tolerance=inputs.query(
+                "hipace.predcorr_B_error_tolerance", 4e-2),
+            predcorr_max_iterations=inputs.query(
+                "hipace.predcorr_max_iterations", 30, int),
+            predcorr_B_mixing_factor=inputs.query(
+                "hipace.predcorr_B_mixing_factor", 0.05),
+            MG_tolerance_rel=inputs.query("hipace.MG_tolerance_rel", 1e-4),
+            MG_tolerance_abs=inputs.query("hipace.MG_tolerance_abs", 0.0),
+            plasmas=self.plasma_cfgs,
+            beams=self.beam_cfgs,
+            diag_comps=tuple(field_data),
+        )
+
+        seed = inputs.query("hipace.random_seed", 0, int)
+        self.key = jax.random.PRNGKey(seed)
+
+        # ---- beam init (flat) + capacity planning + binning
+        self.beams_flat = []
+        for bcfg in self.beam_cfgs:
+            self.key, sub = jax.random.split(self.key)
+            self.beams_flat.append(
+                bm.init_beam(bcfg, self.geom, sub, dtype,
+                             self.normalized_units))
+        self.beam_cap = self._plan_capacity()
+        if self.beams_flat:
+            self.binned = bm.bin_beam(self.beams_flat[0], self.geom,
+                                      self.beam_cap)
+        else:
+            self.binned = bm.bin_beam(_empty_beam(dtype), self.geom, 1)
+
+        self.time = self.initial_time
+        self.writer = OpenPMDWriter(
+            inputs.query("hipace.file_prefix", "diags/hdf5", str),
+            self.normalized_units)
+
+        self._step_fn = jax.jit(partial(self._time_step))
+
+    # ------------------------------------------------------------------
+    def _plan_capacity(self) -> int:
+        if not self.beams_flat:
+            return 1
+        z = np.asarray(self.beams_flat[0]["z"])
+        v = np.asarray(self.beams_flat[0]["valid"])
+        isl = np.floor((z - self.geom.prob_lo[2]) / self.geom.dz).astype(int)
+        isl = isl[v & (isl >= 0) & (isl < self.geom.nz)]
+        if isl.size == 0:
+            return 1
+        counts = np.bincount(isl, minlength=self.geom.nz)
+        return int(counts.max() * 1.25) + 16
+
+    # ------------------------------------------------------------------
+    def _init_plasma_state(self, key, c_t):
+        states = []
+        for pcfg in self.plasma_cfgs:
+            key, sub = jax.random.split(key)
+            states.append(pl.init_plasma(pcfg, self.geom, sub, self.dtype,
+                                         c_t))
+        return states
+
+    def _time_step(self, binned, time, dt, key):
+        """One full time step: the jitted hot path."""
+        cfg = self.cfg
+        g = self.geom
+        fields = init_field_state(cfg, self.dtype)
+
+        # fresh plasma for this step (ref Hipace.cpp:450)
+        plasmas = self._init_plasma_state(key, self.pc.c * time)
+
+        # neutralizing background (ref Hipace.cpp:455-472)
+        rhomjz_ion = fields["RhomJzIons"]["rhomjz"]
+        for p, pcfg in zip(plasmas, self.plasma_cfgs):
+            if pcfg.neutralize_background:
+                tmp, _ = pl.deposit_plasma(
+                    p, ["rhomjz"], {"rhomjz": rhomjz_ion}, g, pcfg, self.pc,
+                    cfg.depos_order_xy, cfg.normalized_units,
+                    flip_charge=True)
+                rhomjz_ion = tmp["rhomjz"]
+        fields = dict(fields, RhomJzIons={"rhomjz": rhomjz_ion})
+
+        carry = {
+            "fields": fields,
+            "plasma": plasmas,
+            "slip": empty_slip(cfg.slip_cap, self.dtype),
+            "dt": dt,
+            "time": time,
+            "min_uz": jnp.asarray(jnp.inf, self.dtype),
+        }
+        nz = g.nz
+        beam_next = {k: jnp.concatenate([jnp.zeros_like(v[:1]), v[:-1]])
+                     for k, v in binned.items() if k != "n_dropped"}
+        beam_next["valid"] = beam_next["valid"].at[0].set(False)
+        xs = {
+            "islice": jnp.arange(nz),
+            "beam_this": {k: v for k, v in binned.items() if k != "n_dropped"},
+            "beam_next": beam_next,
+        }
+        slice_step = make_slice_step(cfg, self.dtype)
+        carry, ys = jax.lax.scan(slice_step, carry, xs, reverse=True)
+
+        # merge emitted beam + final slip, re-bin by new z
+        flat = {}
+        for k in bm.BEAM_ATTRS + ("nsub", "valid"):
+            flat[k] = jnp.concatenate([ys["beam_out"][k].reshape(-1),
+                                       carry["slip"][k]])
+        new_binned = bm.bin_beam(flat, g, self.beam_cap)
+
+        out = {
+            "binned": new_binned,
+            "diag": ys["diag"],
+            "min_uz": carry["min_uz"],
+            "pc_iters": ys["pc_iters"],
+        }
+        return out
+
+    # ------------------------------------------------------------------
+    def run_step(self, step: int):
+        self.key, sub = jax.random.split(self.key)
+        res = self._step_fn(self.binned, jnp.asarray(self.time, self.dtype),
+                            jnp.asarray(self.dt, self.dtype), sub)
+        return res
+
+    def evolve(self, write_output: bool = True):
+        """Time loop (ref Hipace.cpp:393-507)."""
+        for step in range(self.max_step + 1):
+            pre_push_binned = self.binned
+            res = self.run_step(step)
+            if write_output and self._do_output(step):
+                self._write_diagnostics(step, res["diag"], pre_push_binned)
+            self.binned = res["binned"]
+            self.time += self.dt
+            if self.verbose >= 1:
+                print(f"Rank 0 step {step} time {self.time} dt {self.dt}")
+        return self
+
+    def _do_output(self, step: int) -> bool:
+        p = self.output_period
+        if p < 0:
+            return step == self.max_step
+        if p == 0:
+            return False
+        return (step % p == 0) or step == self.max_step
+
+    # ------------------------------------------------------------------
+    def _write_diagnostics(self, step: int, diag, pre_binned):
+        diag = np.asarray(diag)  # (nz, ncomp, ny, nx)
+        fields = {}
+        for ic, name in enumerate(self.cfg.diag_comps):
+            arr = diag[:, ic]
+            if self.diag_type == "xz":
+                ny = arr.shape[1]
+                if ny % 2 == 0:
+                    arr = 0.5 * (arr[:, ny // 2 - 1, :] + arr[:, ny // 2, :])
+                else:
+                    arr = arr[:, ny // 2, :]
+            elif self.diag_type == "yz":
+                nx = arr.shape[2]
+                if nx % 2 == 0:
+                    arr = 0.5 * (arr[:, :, nx // 2 - 1] + arr[:, :, nx // 2])
+                else:
+                    arr = arr[:, :, nx // 2]
+            fields[name] = arr
+        beams = {}
+        for bcfg in self.beam_cfgs:
+            b = {k: np.asarray(pre_binned[k].reshape(-1)) for k in bm.BEAM_ATTRS}
+            v = np.asarray(pre_binned["valid"].reshape(-1))
+            beams[bcfg.name] = {k: arr[v] for k, arr in b.items()}
+        self.writer.write(step, self.time, self.dt, fields, self.geom,
+                          beams=beams)
+
+
+def _empty_beam(dtype):
+    out = {k: jnp.zeros((1,), dtype) for k in bm.BEAM_ATTRS}
+    out["nsub"] = jnp.zeros((1,), jnp.int32)
+    out["valid"] = jnp.zeros((1,), bool)
+    return out

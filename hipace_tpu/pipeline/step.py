@@ -1,0 +1,416 @@
+"""The per-slice solve and the zeta-sweep scan — the hot loop.
+
+TPU-native re-design of Hipace::SolveOneSlice (ref: /root/reference/src/
+Hipace.cpp:557-728) and the Evolve slice loop (Hipace.cpp:478-480): the
+head-to-tail sweep becomes a lax.scan carrying the O(1) slice field state,
+the plasma particle arrays, and a fixed-capacity slipped-beam buffer; beam
+slices stream through scan xs/ys. Both Bx/By solvers are provided:
+
+- explicit (default): WAND-PIC style Sx/Sy deposition + multigrid
+  (ref Hipace.cpp:649-667, 745-933)
+- predictor-corrector: lax.while_loop fixed-point with B-field mixing
+  (ref Hipace.cpp:936-1031, Fields.cpp:1149-1286)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from ..constants import PhysConst
+from ..geometry import Geometry
+from ..fields.poisson import DirichletPoissonSolver
+from ..fields.multigrid import MultiGrid
+from ..fields import slices as sl
+from ..particles import plasma as pl
+from ..particles import beam as bm
+
+
+@dataclasses.dataclass(frozen=True)
+class SimConfig:
+    """Static simulation configuration closed over by the jitted step."""
+    geom: Geometry
+    pc: PhysConst
+    normalized_units: bool = True
+    explicit: bool = True
+    depos_order_xy: int = 2
+    depos_derivative_type: int = 2
+    do_beam_jx_jy_deposition: bool = True
+    deposit_rho: bool = False
+    do_symmetrize: bool = False
+    use_laser: bool = False
+    # predictor-corrector knobs (ref Hipace.H:210-222)
+    predcorr_B_error_tolerance: float = 4e-2
+    predcorr_max_iterations: int = 30
+    predcorr_B_mixing_factor: float = 0.05
+    # multigrid knobs (ref Hipace.H:246-248)
+    MG_tolerance_rel: float = 1e-4
+    MG_tolerance_abs: float = 0.0
+    plasmas: tuple = ()
+    beams: tuple = ()
+    slip_cap: int = 64
+    diag_comps: tuple = ("ExmBy", "EypBx", "Ez", "Bx", "By", "Bz", "Psi")
+
+
+THIS_COMPS_EXPLICIT = ("chi", "Sy", "Sx", "ExmBy", "EypBx", "Ez", "Bx", "By",
+                       "Bz", "Psi", "jx_beam", "jy_beam", "jz_beam", "jx",
+                       "jy", "rhomjz")
+THIS_COMPS_PC = ("ExmBy", "EypBx", "Ez", "Bx", "By", "Bz", "Psi",
+                 "jx", "jy", "jz", "rhomjz")
+
+
+def init_field_state(cfg: SimConfig, dtype) -> dict:
+    """Allocate the zeroed slice field sets (ref Fields::AllocData,
+    Fields.cpp:49-220)."""
+    g = cfg.geom
+    if cfg.explicit:
+        this_comps = THIS_COMPS_EXPLICIT + (("rho",) if cfg.deposit_rho else ())
+        if cfg.use_laser:
+            this_comps = this_comps + ("aabs",)
+        return {
+            "This": sl.make_field_set(this_comps, g, dtype),
+            "Next": sl.make_field_set(("jx_beam", "jy_beam"), g, dtype),
+            "Previous": sl.make_field_set(("jx_beam", "jy_beam"), g, dtype),
+            "RhomJzIons": sl.make_field_set(("rhomjz",), g, dtype),
+        }
+    this_comps = THIS_COMPS_PC + (("rho",) if cfg.deposit_rho else ())
+    if cfg.use_laser:
+        this_comps = this_comps + ("chi", "aabs")
+    return {
+        "This": sl.make_field_set(this_comps, g, dtype),
+        "Next": sl.make_field_set(("jx", "jy"), g, dtype),
+        "Previous": sl.make_field_set(("Bx", "By", "jx", "jy"), g, dtype),
+        "PCIter": sl.make_field_set(("Bx", "By"), g, dtype),
+        "PCPrevIter": sl.make_field_set(("Bx", "By"), g, dtype),
+        "RhomJzIons": sl.make_field_set(("rhomjz",), g, dtype),
+    }
+
+
+# ----------------------------------------------------------------------
+def _solve_psi_ez_bz(f_this, cfg: SimConfig, solver):
+    """SolvePoissonPsiExmByEypBxEzBz (ref Fields.cpp:840-957): all three
+    Poisson equations in one batched DST solve, then ExmBy = -dx Psi,
+    EypBx = -dy Psi."""
+    g = cfg.geom
+    pc = cfg.pc
+    if cfg.do_symmetrize:
+        f_this = dict(f_this)
+        f_this["rhomjz"] = sl.symmetrize(f_this["rhomjz"], g, 1, 1)
+        f_this["jx"] = sl.symmetrize(f_this["jx"], g, -1, 1)
+        f_this["jy"] = sl.symmetrize(f_this["jy"], g, 1, -1)
+
+    rhs_psi = -1.0 / pc.ep0 * sl.interior(f_this["rhomjz"], g)
+    rhs_ez = (sl.ddx_interior(f_this["jx"], g)
+              + sl.ddy_interior(f_this["jy"], g)) / (pc.ep0 * pc.c)
+    rhs_bz = pc.mu0 * (sl.ddy_interior(f_this["jx"], g)
+                       - sl.ddx_interior(f_this["jy"], g))
+    sol = solver.solve(jnp.stack([rhs_psi, rhs_ez, rhs_bz]))
+
+    out = dict(f_this)
+    out["Psi"] = sl.set_interior(f_this["Psi"], sol[0], g)
+    out["Ez"] = sl.set_interior(f_this["Ez"], sol[1], g)
+    out["Bz"] = sl.set_interior(f_this["Bz"], sol[2], g)
+    exmby, eypbx = sl.grad_neg_full(out["Psi"], g)
+    out["ExmBy"] = exmby
+    out["EypBx"] = eypbx
+    return out
+
+
+def _init_sx_sy_with_beam(f, cfg: SimConfig):
+    """Beam contribution to Sx/Sy via finite differences
+    (ref Hipace.cpp:745-790)."""
+    g = cfg.geom
+    mu0 = cfg.pc.mu0
+    dz2_inv = 1.0 / (2.0 * g.dz)
+    dx_jzb = sl.ddx_interior(f["This"]["jz_beam"], g)
+    dy_jzb = sl.ddy_interior(f["This"]["jz_beam"], g)
+    dz_jxb = (sl.interior(f["Previous"]["jx_beam"], g)
+              - sl.interior(f["Next"]["jx_beam"], g)) * dz2_inv
+    dz_jyb = (sl.interior(f["Previous"]["jy_beam"], g)
+              - sl.interior(f["Next"]["jy_beam"], g)) * dz2_inv
+    sy = mu0 * (-dy_jzb + dz_jyb)
+    sx = -mu0 * (-dx_jzb + dz_jxb)
+    this = dict(f["This"])
+    this["Sy"] = sl.set_interior(this["Sy"], sy, g)
+    this["Sx"] = sl.set_interior(this["Sx"], sx, g)
+    return dict(f, This=this)
+
+
+def _explicit_bxby_solve(f_this, cfg: SimConfig, mg: MultiGrid):
+    """ExplicitMGSolveBxBy (ref Hipace.cpp:793-933): solve
+    Laplacian(B) - chi*B = (Sy, Sx) with the previous-slice B as guess."""
+    g = cfg.geom
+    chi_i = sl.interior(f_this["chi"], g)
+    sy_i = sl.interior(f_this["Sy"], g)
+    sx_i = sl.interior(f_this["Sx"], g)
+    if cfg.do_symmetrize:
+        chi_i = sl.symmetrize(chi_i, g, 1, 1)
+        sx_i = sl.symmetrize(sx_i, g, -1, 1)
+        sy_i = sl.symmetrize(sy_i, g, 1, -1)
+    b0 = jnp.stack([sl.interior(f_this["Bx"], g),
+                    sl.interior(f_this["By"], g)])
+    rhs = jnp.stack([sy_i, sx_i])
+    b = mg.solve(b0, rhs, chi_i, tol_rel=cfg.MG_tolerance_rel,
+                 tol_abs=cfg.MG_tolerance_abs, max_iters=40)
+    out = dict(f_this)
+    out["Bx"] = sl.set_interior(f_this["Bx"], b[0], g)
+    out["By"] = sl.set_interior(f_this["By"], b[1], g)
+    return out
+
+
+def _rel_b_field_error(bx, by, bx_it, by_it, geom):
+    """ComputeRelBFieldError (ref Fields.cpp:1228-1286): sum-norm of
+    sqrt(Bx^2+By^2) over the interior."""
+    b = jnp.sum(jnp.sqrt(sl.interior(bx, geom) ** 2
+                         + sl.interior(by, geom) ** 2))
+    bd = jnp.sum(jnp.sqrt(sl.interior(bx - bx_it, geom) ** 2
+                          + sl.interior(by - by_it, geom) ** 2))
+    return jnp.where(b > 0.0, bd / b, 0.0)
+
+
+def _pc_bxby_solve(f, plasmas, beam_next, cfg: SimConfig, solver):
+    """PredictorCorrectorLoopToSolveBxBy (ref Hipace.cpp:936-1031)."""
+    g = cfg.geom
+    pc = cfg.pc
+    order = cfg.depos_order_xy
+    tol = cfg.predcorr_B_error_tolerance
+    mix = cfg.predcorr_B_mixing_factor
+
+    this = f["This"]
+    prev = f["Previous"]
+    ppi = f["PCPrevIter"]
+
+    # initial guess (ref Fields.cpp:1149-1171)
+    err0 = _rel_b_field_error(prev["Bx"], prev["By"], ppi["Bx"], ppi["By"], g)
+    mixf = jnp.exp(-0.5 * (err0 / (2.5 * tol)) ** 2)
+    bx = (1.0 + mixf) * prev["Bx"] - mixf * ppi["Bx"]
+    by = (1.0 + mixf) * prev["By"] - mixf * ppi["By"]
+    ppx, ppy = bx, by
+    pcx = jnp.zeros_like(bx)
+    pcy = jnp.zeros_like(by)
+
+    jz = this["jz"]
+    rhs_bx_static = -pc.mu0 * sl.ddy_interior(jz, g)
+    rhs_by_static = pc.mu0 * sl.ddx_interior(jz, g)
+    dz2_inv = 1.0 / (2.0 * g.dz)
+    prev_jx_i = sl.interior(prev["jx"], g)
+    prev_jy_i = sl.interior(prev["jy"], g)
+
+    def body(state):
+        bx, by, pcx, pcy, ppx, ppy, err, err_prev, it = state
+        fields_it = dict(this, Bx=bx, By=by)
+        # temp plasma push + jx/jy deposit on the temp Next slice
+        nxt_jx = jnp.zeros_like(jz)
+        nxt_jy = jnp.zeros_like(jz)
+        nxt = {"jx": nxt_jx, "jy": nxt_jy}
+        for p, pcfg in zip(plasmas, cfg.plasmas):
+            p_tmp = pl.advance_plasma(p, fields_it, g, pcfg, pc,
+                                      temp_slice=True, order=order,
+                                      use_laser=cfg.use_laser)
+            nxt, _ = pl.deposit_plasma(p_tmp, ["jx", "jy"], nxt, g, pcfg, pc,
+                                       order, cfg.normalized_units,
+                                       use_laser=False)
+        if cfg.do_beam_jx_jy_deposition and cfg.beams:
+            for bcfg in cfg.beams:
+                nxt = bm.deposit_beam_slice(beam_next, {"jx": "jx", "jy": "jy"},
+                                            nxt, g, bcfg, pc, order,
+                                            cfg.normalized_units)
+        # SolvePoissonBxBy (ref Fields.cpp:1008-1078)
+        rhs_bx = rhs_bx_static + pc.mu0 * dz2_inv * (
+            prev_jy_i - sl.interior(nxt["jy"], g))
+        rhs_by = rhs_by_static - pc.mu0 * dz2_inv * (
+            prev_jx_i - sl.interior(nxt["jx"], g))
+        sol = solver.solve(jnp.stack([rhs_bx, rhs_by]))
+        pcx = sl.set_interior(pcx, sol[0], g)
+        pcy = sl.set_interior(pcy, sol[1], g)
+
+        err_new = _rel_b_field_error(bx, by, pcx, pcy, g)
+        err_prev = jnp.where(it == 0, err_new, err_prev)
+        # MixAndShiftBfields (ref Fields.cpp:1173-1226)
+        denom = err_new + err_prev
+        w_it = jnp.where(denom > 0.0, err_prev / jnp.maximum(denom, 1e-30), 0.5)
+        w_pp = jnp.where(denom > 0.0, err_new / jnp.maximum(denom, 1e-30), 0.5)
+        ppx_m = w_it * pcx + w_pp * ppx
+        ppy_m = w_it * pcy + w_pp * ppy
+        bx = (1.0 - mix) * bx + mix * ppx_m
+        by = (1.0 - mix) * by + mix * ppy_m
+        return (bx, by, pcx, pcy, pcx, pcy, err_new, err_new, it + 1)
+
+    def cond(state):
+        *_, err, _err_prev, it = state
+        return (err > tol) & (it < cfg.predcorr_max_iterations)
+
+    state0 = (bx, by, pcx, pcy, ppx, ppy,
+              jnp.asarray(1.0, bx.dtype), jnp.asarray(1.0, bx.dtype),
+              jnp.zeros((), jnp.int32))
+    bx, by, pcx, pcy, ppx, ppy, err, _, n_iter = jax.lax.while_loop(
+        cond, body, state0)
+
+    this = dict(this, Bx=bx, By=by)
+    return dict(f, This=this, PCPrevIter={"Bx": ppx, "By": ppy},
+                PCIter={"Bx": pcx, "By": pcy}), err, n_iter
+
+
+# ----------------------------------------------------------------------
+def make_slice_step(cfg: SimConfig, dtype):
+    """Build the per-slice function used by lax.scan."""
+    g = cfg.geom
+    pc = cfg.pc
+    order = cfg.depos_order_xy
+    solver = DirichletPoissonSolver(g.nx, g.ny, g.dx, g.dy, dtype)
+    mg = MultiGrid(g.nx, g.ny, g.dx, g.dy, dtype) if cfg.explicit else None
+
+    def slice_step(carry, xs):
+        f = carry["fields"]
+        plasmas = carry["plasma"]
+        slip = carry["slip"]
+        dt = carry["dt"]
+        time = carry["time"]
+        islice = xs["islice"]
+        min_z = (g.prob_lo[2] + islice.astype(dtype) * g.dz).astype(dtype)
+
+        # ---- InitializeSlices (ref Fields.cpp:536-586)
+        this = dict(f["This"])
+        if cfg.explicit:
+            zero_comps = ("chi", "Sy", "Sx", "ExmBy", "EypBx", "jz_beam",
+                          "rhomjz")
+        else:
+            zero_comps = ("ExmBy", "EypBx", "jx", "jy", "jz", "rhomjz")
+        for c in zero_comps:
+            this[c] = jnp.zeros_like(this[c])
+        if cfg.deposit_rho:
+            this["rho"] = jnp.zeros_like(this["rho"])
+        f = dict(f, This=this)
+        if cfg.explicit:
+            f["Next"] = {c: jnp.zeros_like(v) for c, v in f["Next"].items()}
+
+        # ---- plasma deposits on This
+        if cfg.explicit:
+            comps = ["jx", "jy", "chi", "rhomjz"]
+        else:
+            comps = ["jx", "jy", "jz", "rhomjz"] + (
+                ["chi"] if cfg.use_laser else [])
+        if cfg.deposit_rho:
+            comps.append("rho")
+        this = f["This"]
+        new_plasmas = []
+        for p, pcfg in zip(plasmas, cfg.plasmas):
+            this, p = pl.deposit_plasma(
+                p, comps, this, g, pcfg, pc, order,
+                cfg.normalized_units, use_laser=cfg.use_laser)
+            new_plasmas.append(p)
+        plasmas = new_plasmas
+
+        # ---- beam deposit on This (pre-push)
+        if cfg.beams:
+            if cfg.explicit:
+                cmap = {"jz": "jz_beam"}
+            else:
+                cmap = ({"jx": "jx", "jy": "jy", "jz": "jz"}
+                        if cfg.do_beam_jx_jy_deposition else {"jz": "jz"})
+            for bcfg in cfg.beams:
+                this = bm.deposit_beam_slice(
+                    xs["beam_this"], cmap, this, g, bcfg, pc,
+                    order, cfg.normalized_units)
+
+        # ---- AddRhoIons (ref Fields.cpp:606-615)
+        this = dict(this)
+        this["rhomjz"] = this["rhomjz"] + f["RhomJzIons"]["rhomjz"]
+        if cfg.deposit_rho:
+            this["rho"] = this["rho"] + f["RhomJzIons"]["rhomjz"]
+
+        # ---- Psi/ExmBy/EypBx/Ez/Bz solve
+        this = _solve_psi_ez_bz(this, cfg, solver)
+        f = dict(f, This=this)
+
+        # ---- Bx/By solve
+        if cfg.explicit:
+            # beam Next deposit jx_beam, jy_beam
+            if cfg.do_beam_jx_jy_deposition and cfg.beams:
+                nxt = f["Next"]
+                for bcfg in cfg.beams:
+                    nxt = bm.deposit_beam_slice(
+                        xs["beam_next"], {"jx": "jx_beam", "jy": "jy_beam"},
+                        nxt, g, bcfg, pc, order, cfg.normalized_units)
+                f = dict(f, Next=nxt)
+            f = _init_sx_sy_with_beam(f, cfg)
+            this = f["This"]
+            for p, pcfg in zip(plasmas, cfg.plasmas):
+                this = pl.explicit_deposition(
+                    p, this, g, pcfg, pc, order, cfg.depos_derivative_type,
+                    cfg.normalized_units, use_laser=cfg.use_laser)
+            this = _explicit_bxby_solve(this, cfg, mg)
+            f = dict(f, This=this)
+            pc_err = jnp.zeros((), dtype)
+            pc_iters = jnp.zeros((), jnp.int32)
+        else:
+            f, pc_err, pc_iters = _pc_bxby_solve(
+                f, plasmas, xs["beam_next"], cfg, solver)
+            this = f["This"]
+
+        # ---- per-slice diagnostics (interior of selected comps)
+        diag = jnp.stack([sl.interior(this[c], g) for c in cfg.diag_comps])
+
+        # ---- push plasma (ref Hipace.cpp:698-701)
+        plasmas = [pl.advance_plasma(p, this, g, pcfg, pc, temp_slice=False,
+                                     order=order, use_laser=cfg.use_laser)
+                   for p, pcfg in zip(plasmas, cfg.plasmas)]
+
+        # ---- push beam: this slice + slipped carry (ref Hipace.cpp:706-709)
+        combined = {k: jnp.concatenate([xs["beam_this"][k], slip[k]])
+                    for k in bm.BEAM_ATTRS + ("nsub", "valid")}
+        if cfg.beams:
+            bcfg = cfg.beams[0]
+            combined = bm.advance_beam_slice(
+                combined, this, g, bcfg, pc, dt, min_z, order=order,
+                time=time)
+            # particles that stopped mid-subcycles slip to the carry buffer
+            incomplete = combined["valid"] & (combined["nsub"] > 0)
+            perm = jnp.argsort(jnp.where(incomplete, 0, 1), stable=True)
+            reord = {k: v[perm] for k, v in combined.items()}
+            new_slip = {k: v[:cfg.slip_cap] for k, v in reord.items()}
+            new_slip["valid"] = new_slip["valid"] & (new_slip["nsub"] > 0)
+            n_slipped = jnp.minimum(jnp.sum(incomplete), cfg.slip_cap)
+            emit = dict(reord)
+            emit["valid"] = emit["valid"] & (
+                jnp.arange(emit["valid"].size) >= n_slipped)
+        else:
+            new_slip = slip
+            emit = combined
+
+        # ---- min beam uz for adaptive dt (ref AdaptiveTimeStep)
+        uz_valid = jnp.where(emit["valid"], emit["uz"],
+                             jnp.asarray(jnp.inf, dtype))
+        min_uz = jnp.minimum(carry["min_uz"], jnp.min(uz_valid))
+
+        # ---- ShiftSlices (ref Fields.cpp:588-604)
+        if cfg.explicit:
+            prev = {"jx_beam": this["jx_beam"], "jy_beam": this["jy_beam"]}
+            new_this = dict(this)
+            new_this["jx_beam"] = f["Next"]["jx_beam"]
+            new_this["jy_beam"] = f["Next"]["jy_beam"]
+            new_this["jx"] = f["Next"]["jx_beam"]
+            new_this["jy"] = f["Next"]["jy_beam"]
+            f = dict(f, This=new_this, Previous=prev)
+        else:
+            new_pp = {"Bx": f["Previous"]["Bx"], "By": f["Previous"]["By"]}
+            new_prev = {"Bx": this["Bx"], "By": this["By"],
+                        "jx": this["jx"], "jy": this["jy"]}
+            f = dict(f, Previous=new_prev, PCPrevIter=new_pp)
+
+        carry = dict(carry, fields=f, plasma=plasmas, slip=new_slip,
+                     min_uz=min_uz)
+        ys = {"beam_out": emit, "diag": diag, "pc_err": pc_err,
+              "pc_iters": pc_iters}
+        return carry, ys
+
+    return slice_step
+
+
+def empty_slip(cap: int, dtype) -> dict:
+    out = {k: jnp.zeros((cap,), dtype) for k in bm.BEAM_ATTRS}
+    out["nsub"] = jnp.zeros((cap,), jnp.int32)
+    out["valid"] = jnp.zeros((cap,), bool)
+    return out
