@@ -1,0 +1,230 @@
+"""Longitudinal pipeline parallelism over a jax.sharding.Mesh.
+
+TPU-native re-design of the reference's only distributed mechanism
+(ref: /root/reference/src/utils/MultiBuffer.{H,cpp}; Hipace.cpp:400-401):
+rank r computes time steps r, r+N, ... and streams pushed beam slices
+head-to-tail to rank r+1 through a ring of MPI_Isend/Irecv buffers.
+
+Here the ring is a mesh axis: device d runs time step d. The zeta sweep
+becomes a *skewed tick loop* — at global tick t, device d processes slice
+(nz-1) - (t - d); after each tick the just-pushed beam slice block is
+ppermuted to device d+1, which bins the received particles into its own
+per-slice receive buffer by their (new) zeta. Lockstep lax.scan replaces the
+reference's async progress state machine; the fill/drain bubble is
+(n_dev - 1) / (nz + n_dev - 1), negligible for the 1000s-of-slices decks the
+reference targets. The ring wraps: device n-1 streams to device 0, whose
+receive buffer after the final tick is the beam after n_dev time steps.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..particles import beam as bm
+from ..pipeline.step import make_slice_step, init_field_state, empty_slip
+
+
+_STREAM_KEYS = bm.BEAM_ATTRS + ("nsub", "valid")
+
+
+def _bin_block_into(buf: dict, counters: jnp.ndarray, block: dict, geom,
+                    cap2: int):
+    """Scatter a received particle block into the per-slice receive buffer.
+
+    buf: dict of (nz, cap2) arrays; counters: (nz,) write cursors.
+    The TPU analogue of MultiBuffer's per-slice recv bookkeeping.
+    """
+    nz = geom.nz
+    isl = bm.slice_index(block["z"], geom)
+    ok = block["valid"] & (isl >= 0) & (isl < nz)
+    isl_c = jnp.where(ok, isl, nz)
+    # rank within this block per destination slice
+    order = jnp.argsort(isl_c, stable=True)
+    isl_s = isl_c[order]
+    starts = jnp.searchsorted(isl_s, jnp.arange(nz + 1))
+    rank = jnp.arange(isl_s.size) - starts[jnp.clip(isl_s, 0, nz)]
+    base = counters[jnp.clip(isl_s, 0, nz - 1)]
+    slot = base + rank
+    keep = (isl_s < nz) & (slot < cap2)
+    dst = jnp.where(keep, isl_s * cap2 + slot, nz * cap2)
+
+    new_buf = {}
+    for k in _STREAM_KEYS:
+        src = block[k][order]
+        if k == "valid":
+            src = src & keep
+        flat = buf[k].reshape(-1)
+        flat = jnp.concatenate([flat, jnp.zeros((1,), flat.dtype)])
+        flat = flat.at[dst].set(src)
+        new_buf[k] = flat[:-1].reshape(nz, cap2)
+    add = jnp.zeros((nz + 1,), counters.dtype).at[jnp.clip(isl_s, 0, nz)].add(
+        keep.astype(counters.dtype))
+    return new_buf, counters + add[:nz]
+
+
+def make_pipelined_evolve(cfg, dtype, n_devices: int, beam_cap: int,
+                          axis_name: str = "pipe"):
+    """Build the shard_map'd multi-step evolve: device d runs step d."""
+    g = cfg.geom
+    nz = g.nz
+    slip_cap = cfg.slip_cap
+    cap2 = beam_cap + slip_cap
+    slice_step = make_slice_step(cfg, dtype)
+
+    def init_plasmas(key, c_t):
+        from ..particles import plasma as pl
+        states = []
+        for pcfg in cfg.plasmas:
+            key, sub = jax.random.split(key)
+            states.append(pl.init_plasma(pcfg, g, sub, dtype, c_t))
+        return states
+
+    def device_evolve(binned0, dt, key):
+        """Runs under shard_map; binned0: (1, nz, cap2) local shard."""
+        d = jax.lax.axis_index(axis_name)
+        is_dev0 = d == 0
+        binned0 = {k: v[0] for k, v in binned0.items()}
+        time_d = d.astype(dtype) * dt
+
+        plasmas = init_plasmas(key, cfg.pc.c * time_d)
+        fields = init_field_state(cfg, dtype)
+        # neutralizing background
+        from ..particles import plasma as pl
+        rhom = fields["RhomJzIons"]["rhomjz"]
+        for p, pcfg in zip(plasmas, cfg.plasmas):
+            if pcfg.neutralize_background:
+                tmp, _ = pl.deposit_plasma(
+                    p, ["rhomjz"], {"rhomjz": rhom}, g, pcfg, cfg.pc,
+                    cfg.depos_order_xy, cfg.normalized_units, flip_charge=True)
+                rhom = tmp["rhomjz"]
+        fields = dict(fields, RhomJzIons={"rhomjz": rhom})
+
+        recv_buf = {k: jnp.zeros((nz, cap2), binned0[k].dtype)
+                    for k in _STREAM_KEYS}
+        counters = jnp.zeros((nz,), jnp.int32)
+
+        carry0 = {
+            "fields": fields, "plasma": plasmas,
+            "slip": empty_slip(slip_cap, dtype),
+            "dt": dt, "time": time_d,
+            "min_uz": jnp.asarray(jnp.inf, dtype),
+            "recv": recv_buf, "counters": counters,
+        }
+
+        # stage d lags stage d-1 by TWO slices: processing slice i needs
+        # the upstream step's slice i-1 output (the reference's
+        # get_data(islice-1), Hipace.cpp:639-642), which upstream emits one
+        # tick after its slice-i block.
+        n_ticks = nz + 2 * (n_devices - 1)
+
+        def tick(carry, t):
+            rel = t - 2 * d                      # local slice counter
+            active = (rel >= 0) & (rel < nz)
+            i_local = jnp.clip(nz - 1 - rel, 0, nz - 1)
+
+            # input rows: device 0 reads the initial beam, others the stream
+            def row(k):
+                a = jax.lax.dynamic_index_in_dim(binned0[k], i_local, 0,
+                                                 keepdims=False)
+                b = jax.lax.dynamic_index_in_dim(carry["recv"][k], i_local, 0,
+                                                 keepdims=False)
+                return jnp.where(is_dev0, a, b)
+
+            def row_next(k):
+                i_next = jnp.maximum(i_local - 1, 0)
+                a = jax.lax.dynamic_index_in_dim(binned0[k], i_next, 0,
+                                                 keepdims=False)
+                b = jax.lax.dynamic_index_in_dim(carry["recv"][k], i_next, 0,
+                                                 keepdims=False)
+                v = jnp.where(is_dev0, a, b)
+                if k == "valid":
+                    v = v & (i_local > 0)
+                return v
+
+            beam_this = {k: row(k) for k in _STREAM_KEYS}
+            beam_this["valid"] = beam_this["valid"] & active
+            beam_next = {k: row_next(k) for k in _STREAM_KEYS}
+            beam_next["valid"] = beam_next["valid"] & active
+
+            xs = {"islice": i_local, "beam_this": beam_this,
+                  "beam_next": beam_next}
+            sub_carry = {k: carry[k] for k in
+                         ("fields", "plasma", "slip", "dt", "time", "min_uz")}
+            new_sub, ys = slice_step(sub_carry, xs)
+
+            # inactive devices keep their state unchanged
+            def sel(new, old):
+                return jax.tree.map(
+                    lambda a, b: jnp.where(active, a, b), new, old)
+            merged = sel({k: new_sub[k] for k in ("fields", "plasma", "slip",
+                                                  "min_uz")},
+                         {k: carry[k] for k in ("fields", "plasma", "slip",
+                                                "min_uz")})
+
+            emit = dict(ys["beam_out"])
+            emit["valid"] = emit["valid"] & active
+
+            # stream to the next pipeline stage (ring)
+            perm = [(i, (i + 1) % n_devices) for i in range(n_devices)]
+            received = {k: jax.lax.ppermute(emit[k], axis_name, perm)
+                        for k in _STREAM_KEYS}
+            recv, counters = _bin_block_into(carry["recv"], carry["counters"],
+                                             received, g, cap2)
+
+            carry = dict(carry, recv=recv, counters=counters, **merged)
+            return carry, None
+
+        carry, _ = jax.lax.scan(tick, carry0, jnp.arange(n_ticks))
+
+        # flush remaining slipped particles around the ring once
+        perm = [(i, (i + 1) % n_devices) for i in range(n_devices)]
+        slip_blk = {k: jax.lax.ppermute(carry["slip"][k], axis_name, perm)
+                    for k in _STREAM_KEYS}
+        recv, counters = _bin_block_into(carry["recv"], carry["counters"],
+                                         slip_blk, g, cap2)
+
+        out = {k: v[None] for k, v in recv.items()}
+        return out, carry["min_uz"][None]
+
+    return device_evolve
+
+
+def pipelined_evolve(cfg, dtype, binned, dt, key, devices=None,
+                     axis_name: str = "pipe"):
+    """Run n_devices time steps, one per device, with slice streaming.
+
+    binned: the (nz, cap) per-slice beam from bm.bin_beam. Returns the beam
+    binned after n_devices steps (from device 0's receive buffer).
+    """
+    devices = devices if devices is not None else jax.devices()
+    n_dev = len(devices)
+    mesh = Mesh(np.array(devices), (axis_name,))
+    nz = cfg.geom.nz
+    cap = binned["x"].shape[1]
+    cap2 = cap + cfg.slip_cap
+
+    # pad rows to cap2 and replicate-structure to (n_dev, nz, cap2):
+    # only device 0's shard carries the real beam
+    full = {}
+    for k in _STREAM_KEYS:
+        v = binned[k]
+        pad = jnp.zeros((nz, cap2 - cap), v.dtype)
+        row = jnp.concatenate([v, pad], axis=1)
+        full[k] = jnp.concatenate(
+            [row[None], jnp.zeros((n_dev - 1,) + row.shape, v.dtype)], axis=0) \
+            if n_dev > 1 else row[None]
+
+    fn = make_pipelined_evolve(cfg, dtype, n_dev, cap, axis_name)
+    shard = jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=({k: P(axis_name) for k in _STREAM_KEYS}, P(), P()),
+        out_specs=({k: P(axis_name) for k in _STREAM_KEYS}, P(axis_name)),
+        check_vma=False)
+    out, min_uz = jax.jit(shard)(full, jnp.asarray(dt, dtype), key)
+    final = {k: v[0] for k, v in out.items()}
+    return final, min_uz
