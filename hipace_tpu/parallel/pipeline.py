@@ -108,11 +108,13 @@ def make_pipelined_evolve(cfg, dtype, n_devices: int, beam_cap: int,
                     for k in _STREAM_KEYS}
         counters = jnp.zeros((nz,), jnp.int32)
 
+        from ..pipeline.step import zero_moments
         carry0 = {
             "fields": fields, "plasma": plasmas,
             "slip": empty_slip(slip_cap, dtype),
             "dt": dt, "time": time_d,
             "min_uz": jnp.asarray(jnp.inf, dtype),
+            "beam_moments": zero_moments(dtype),
             "recv": recv_buf, "counters": counters,
         }
 
@@ -154,7 +156,8 @@ def make_pipelined_evolve(cfg, dtype, n_devices: int, beam_cap: int,
             xs = {"islice": i_local, "beam_this": beam_this,
                   "beam_next": beam_next}
             sub_carry = {k: carry[k] for k in
-                         ("fields", "plasma", "slip", "dt", "time", "min_uz")}
+                         ("fields", "plasma", "slip", "dt", "time", "min_uz",
+                          "beam_moments")}
             new_sub, ys = slice_step(sub_carry, xs)
 
             # inactive devices keep their state unchanged
@@ -162,9 +165,9 @@ def make_pipelined_evolve(cfg, dtype, n_devices: int, beam_cap: int,
                 return jax.tree.map(
                     lambda a, b: jnp.where(active, a, b), new, old)
             merged = sel({k: new_sub[k] for k in ("fields", "plasma", "slip",
-                                                  "min_uz")},
+                                                  "min_uz", "beam_moments")},
                          {k: carry[k] for k in ("fields", "plasma", "slip",
-                                                "min_uz")})
+                                                "min_uz", "beam_moments")})
 
             emit = dict(ys["beam_out"])
             emit["valid"] = emit["valid"] & active

@@ -22,7 +22,9 @@ from ..parser import Inputs
 from ..particles import beam as bm
 from ..particles import plasma as pl
 from ..diagnostics.openpmd import OpenPMDWriter
-from .step import (SimConfig, init_field_state, make_slice_step, empty_slip)
+from .step import (SimConfig, init_field_state, make_slice_step, empty_slip,
+                   zero_moments)
+from ..utils import adaptive_dt as adt
 
 
 class Simulation:
@@ -40,7 +42,11 @@ class Simulation:
         self.geom = Geometry.from_inputs(inputs, depos_order)
 
         self.max_step = inputs.query("max_step", 0, int)
-        self.dt = inputs.query("hipace.dt", 0.0)
+        self.adt_cfg = adt.AdaptiveTimeStepConfig.from_inputs(inputs)
+        if self.adt_cfg.enabled:
+            self.dt = 0.0  # set after beam init from the initial moments
+        else:
+            self.dt = inputs.query("hipace.dt", 0.0)
         self.initial_time = 0.0
         self.verbose = verbose if verbose is not None else \
             inputs.query("hipace.verbose", 1, int)
@@ -112,6 +118,15 @@ class Simulation:
         else:
             self.binned = bm.bin_beam(_empty_beam(dtype), self.geom, 1)
 
+        # initial adaptive dt from the initial beam moments
+        # (ref AdaptiveTimeStep.cpp GatherMinUzSlice(initial=true) + Hipace.cpp:275-281)
+        self._min_uz_mq = float("inf")
+        if self.adt_cfg.enabled and self.beam_cfgs:
+            mom = self._initial_beam_moments()
+            self.dt, self._min_uz_mq = adt.calculate_from_min_uz(
+                self.adt_cfg, mom, self.beam_cfgs[0], self.plasma_cfgs,
+                self.pc, 0.0, 1e30)
+
         self.time = self.initial_time
         self.writer = OpenPMDWriter(
             inputs.query("hipace.file_prefix", "diags/hdf5", str),
@@ -168,6 +183,7 @@ class Simulation:
             "dt": dt,
             "time": time,
             "min_uz": jnp.asarray(jnp.inf, self.dtype),
+            "beam_moments": zero_moments(self.dtype),
         }
         nz = g.nz
         beam_next = {k: jnp.concatenate([jnp.zeros_like(v[:1]), v[:-1]])
@@ -192,6 +208,7 @@ class Simulation:
             "binned": new_binned,
             "diag": ys["diag"],
             "min_uz": carry["min_uz"],
+            "beam_moments": carry["beam_moments"],
             "pc_iters": ys["pc_iters"],
         }
         return out
@@ -203,17 +220,42 @@ class Simulation:
                             jnp.asarray(self.dt, self.dtype), sub)
         return res
 
+    def _initial_beam_moments(self):
+        import numpy as np
+        b = self.beams_flat[0]
+        v = np.asarray(b["valid"])
+        w = np.asarray(b["w"])[v]
+        uz = np.asarray(b["uz"])[v] / self.pc.c
+        if w.sum() == 0.0:
+            return adt.initial_moments(self.beam_cfgs[0])
+        return {"sum_w": float(w.sum()),
+                "sum_w_uz": float((w * uz).sum()),
+                "sum_w_uz2": float((w * uz * uz).sum()),
+                "min_uz": float(uz.min()), "min_acc": 0.0}
+
     def evolve(self, write_output: bool = True):
         """Time loop (ref Hipace.cpp:393-507)."""
         for step in range(self.max_step + 1):
+            if self.adt_cfg.enabled:
+                # phase-advance control through density gradients
+                self.dt = adt.calculate_from_density(
+                    self.adt_cfg, self.plasma_cfgs, self.pc, self.time,
+                    self.dt, self._min_uz_mq)
+            if self.verbose >= 1:
+                print(f"Rank 0 started step {step} at time {self.time}"
+                      f" with dt {self.dt}")
             pre_push_binned = self.binned
             res = self.run_step(step)
             if write_output and self._do_output(step):
                 self._write_diagnostics(step, res["diag"], pre_push_binned)
             self.binned = res["binned"]
             self.time += self.dt
-            if self.verbose >= 1:
-                print(f"Rank 0 step {step} time {self.time} dt {self.dt}")
+            if self.adt_cfg.enabled and self.beam_cfgs:
+                mom = {k: float(v) for k, v in res["beam_moments"].items()}
+                mom["min_uz"] = float(res["min_uz"])
+                self.dt, self._min_uz_mq = adt.calculate_from_min_uz(
+                    self.adt_cfg, mom, self.beam_cfgs[0], self.plasma_cfgs,
+                    self.pc, self.time, self.dt)
         return self
 
     def _do_output(self, step: int) -> bool:

@@ -380,10 +380,20 @@ def make_slice_step(cfg: SimConfig, dtype):
             new_slip = slip
             emit = combined
 
-        # ---- min beam uz for adaptive dt (ref AdaptiveTimeStep)
+        # ---- beam uz moments for adaptive dt (ref AdaptiveTimeStep
+        # GatherMinUzSlice, post-push)
+        c_inv = 1.0 / pc.c
+        w_v = jnp.where(emit["valid"], emit["w"], 0.0)
         uz_valid = jnp.where(emit["valid"], emit["uz"],
                              jnp.asarray(jnp.inf, dtype))
-        min_uz = jnp.minimum(carry["min_uz"], jnp.min(uz_valid))
+        min_uz = jnp.minimum(carry["min_uz"], jnp.min(uz_valid) * c_inv)
+        mom = carry["beam_moments"]
+        mom = {
+            "sum_w": mom["sum_w"] + jnp.sum(w_v),
+            "sum_w_uz": mom["sum_w_uz"] + jnp.sum(w_v * emit["uz"]) * c_inv,
+            "sum_w_uz2": mom["sum_w_uz2"]
+                         + jnp.sum(w_v * emit["uz"] ** 2) * c_inv ** 2,
+        }
 
         # ---- ShiftSlices (ref Fields.cpp:588-604)
         if cfg.explicit:
@@ -401,12 +411,17 @@ def make_slice_step(cfg: SimConfig, dtype):
             f = dict(f, Previous=new_prev, PCPrevIter=new_pp)
 
         carry = dict(carry, fields=f, plasma=plasmas, slip=new_slip,
-                     min_uz=min_uz)
+                     min_uz=min_uz, beam_moments=mom)
         ys = {"beam_out": emit, "diag": diag, "pc_err": pc_err,
               "pc_iters": pc_iters}
         return carry, ys
 
     return slice_step
+
+
+def zero_moments(dtype):
+    return {"sum_w": jnp.zeros((), dtype), "sum_w_uz": jnp.zeros((), dtype),
+            "sum_w_uz2": jnp.zeros((), dtype)}
 
 
 def empty_slip(cap: int, dtype) -> dict:
