@@ -252,6 +252,25 @@ class Inputs:
         return PrefixView(self, pre)
 
 
+def compile_function(expr: str, argnames, consts=()) -> Callable:
+    """Compile a standalone expression to a jax-traceable callable, with
+    `consts` as extra (name, value) pairs (e.g. a deck's my_constants)."""
+    expr = expr.replace("^", "**").replace("&&", " and ").replace("||", " or ")
+    cdict = dict(_PREDEFINED_SI)
+    cdict.update(dict(consts))
+
+    def fn(*vals):
+        import jax.numpy as jnp
+        ns = dict(cdict)
+        ns.update(_math_namespace(jnp))
+        for name, v in zip(argnames, vals):
+            ns[name] = v
+        return eval(expr, {"__builtins__": {"__import__": __import__}}, ns)  # noqa: S307
+
+    fn.expr = expr
+    return fn
+
+
 class PrefixView:
     """View of an Inputs with a fixed key prefix, like amrex::ParmParse(pre)."""
 

@@ -56,6 +56,16 @@ class BeamConfig:
     do_salame: bool = False
     particle_boundary: str = "Absorbing"
     dx_per_dzeta: float = 0.0
+    # external fields: 6 expressions of (x,y,z,t) for Ex,Ey,Ez,Bx,By,Bz
+    # (ref BeamParticleContainer.cpp:72-88, ExternalFields.H)
+    use_external_fields: bool = False
+    external_fields_expr: tuple = ("0", "0", "0", "0", "0", "0")
+    do_radiation_reaction: bool = False
+    do_spin_tracking: bool = False
+    initial_spin: tuple[float, float, float] = (0.0, 0.0, 1.0)
+    spin_anom: float = 0.00115965218128  # electron anomalous moment
+    # deck my_constants needed by expression-valued parameters (hashable)
+    consts: tuple = ()
 
     @classmethod
     def from_inputs(cls, inputs: Inputs, name: str, pc: PhysConst,
@@ -104,6 +114,20 @@ class BeamConfig:
         if f is not None:
             density_expr = f.expr
 
+        # external_E/B are 3-component expression lists of (x,y,z,t)
+        def _three(key):
+            raw = inputs.raw(f"{name}.{key}(x,y,z,t)")
+            if raw is None:
+                raw = inputs.raw(f"beams.{key}(x,y,z,t)")
+            if raw is None:
+                return None
+            toks = inputs._split(raw)
+            return tuple(toks) if len(toks) == 3 else (raw, "0", "0")
+        e3 = _three("external_E")
+        b3 = _three("external_B")
+        use_ext = e3 is not None or b3 is not None
+        ext_exprs = (e3 or ("0", "0", "0")) + (b3 or ("0", "0", "0"))
+
         return cls(
             name=name,
             injection_type=injection,
@@ -129,28 +153,68 @@ class BeamConfig:
             do_z_push=q("do_z_push", True, bool),
             do_salame=pp.query("do_salame", False, bool),
             particle_boundary=inputs.query("boundary.particle", "Absorbing", str),
+            use_external_fields=use_ext,
+            external_fields_expr=ext_exprs,
+            do_radiation_reaction=q("do_radiation_reaction", False, bool),
+            do_spin_tracking=q("do_spin_tracking", False, bool),
+            initial_spin=tuple(pp.query_list("initial_spin", [0., 0., 1.])),
+            spin_anom=q("spin_anom", 0.00115965218128),
+            consts=tuple(sorted((k, float(v)) for k, v in
+                                inputs.my_constants.items()
+                                if isinstance(v, (int, float)))),
         )
 
+    def external_field_fns(self):
+        """Compile the 6 external field expressions to traceable callables."""
+        if not self.use_external_fields:
+            return None
+        from ..parser import compile_function
+        fns = [compile_function(e, ("x", "y", "z", "t"), self.consts)
+               for e in self.external_fields_expr]
+
+        def apply(x, y, z, t, clight, exmby, eypbx, ez, bx, by, bz):
+            import jax.numpy as jnp
+            vals = [jnp.broadcast_to(jnp.asarray(f(x, y, z, t), x.dtype), x.shape)
+                    for f in fns]
+            ex_e, ey_e, ez_e, bx_e, by_e, bz_e = vals
+            return (exmby + ex_e - clight * by_e,
+                    eypbx + ey_e + clight * bx_e,
+                    ez + ez_e, bx + bx_e, by + by_e, bz + bz_e)
+        return apply
+
     def mean_fn(self, comp: int):
-        expr = self.position_mean[comp]
-        return Inputs(f"f(z) = {expr}").get_function("f", ("z",))
+        from ..parser import compile_function
+        return compile_function(self.position_mean[comp], ("z",), self.consts)
 
     def density_fn(self):
-        return Inputs(f"f(x,y,z) = {self.density_expr}").get_function(
-            "f", ("x", "y", "z"))
+        from ..parser import compile_function
+        return compile_function(self.density_expr, ("x", "y", "z"),
+                                self.consts)
 
 
-BEAM_ATTRS = ("x", "y", "z", "ux", "uy", "uz", "w")
+# spin components always carried (zeros when spin tracking is off) so the
+# binning/streaming pytree structure is static
+BEAM_ATTRS = ("x", "y", "z", "ux", "uy", "uz", "w", "sx", "sy", "sz")
 
 
 def init_beam(cfg: BeamConfig, geom: Geometry, key, dtype,
-              normalized_units: bool) -> dict:
-    """Initialize the full beam as flat SoA arrays + validity mask."""
+              normalized_units: bool, pc: PhysConst | None = None) -> dict:
+    """Initialize the full beam as flat SoA arrays + validity mask.
+
+    Deck momenta are dimensionless gamma*beta; stored momenta are proper
+    velocities u = gamma*beta*c (ref AddOneBeamParticle: u * clight).
+    """
+    c = 1.0 if pc is None else pc.c
     if cfg.injection_type in ("fixed_weight", "fixed_weight_pdf"):
-        return _init_fixed_weight(cfg, geom, key, dtype)
-    if cfg.injection_type == "fixed_ppc":
-        return _init_fixed_ppc(cfg, geom, dtype, normalized_units)
-    raise NotImplementedError(f"injection_type {cfg.injection_type}")
+        out = _init_fixed_weight(cfg, geom, key, dtype)
+    elif cfg.injection_type == "fixed_ppc":
+        out = _init_fixed_ppc(cfg, geom, dtype, normalized_units)
+    else:
+        raise NotImplementedError(f"injection_type {cfg.injection_type}")
+    if c != 1.0:
+        out = dict(out, ux=out["ux"] * c, uy=out["uy"] * c,
+                   uz=out["uz"] * c)
+    return out
 
 
 def _init_fixed_weight(cfg: BeamConfig, geom: Geometry, key, dtype) -> dict:
@@ -183,9 +247,11 @@ def _init_fixed_weight(cfg: BeamConfig, geom: Geometry, key, dtype) -> dict:
     w = jnp.full((n,), cfg.total_charge / max(n, 1), dtype)
     w = jnp.where(valid, w, 0.0)
     # momenta stored as proper velocity * c in SI (c=1 normalized)
-    return {"x": x, "y": y, "z": z, "ux": ux, "uy": uy, "uz": uz,
-            "w": w, "valid": valid,
-            "nsub": jnp.zeros((n,), jnp.int32)}
+    out = {"x": x, "y": y, "z": z, "ux": ux, "uy": uy, "uz": uz,
+           "w": w, "valid": valid,
+           "nsub": jnp.zeros((n,), jnp.int32)}
+    out.update(_init_spin(cfg, n, dtype))
+    return out
 
 
 def _init_fixed_ppc(cfg: BeamConfig, geom: Geometry, dtype,
@@ -222,8 +288,22 @@ def _init_fixed_ppc(cfg: BeamConfig, geom: Geometry, dtype,
     ux = jnp.full((n,), cfg.u_mean[0], dtype)
     uy = jnp.full((n,), cfg.u_mean[1], dtype)
     uz = jnp.full((n,), cfg.u_mean[2], dtype)
-    return {"x": x, "y": y, "z": z, "ux": ux, "uy": uy, "uz": uz,
-            "w": w, "valid": valid, "nsub": jnp.zeros((n,), jnp.int32)}
+    out = {"x": x, "y": y, "z": z, "ux": ux, "uy": uy, "uz": uz,
+           "w": w, "valid": valid, "nsub": jnp.zeros((n,), jnp.int32)}
+    out.update(_init_spin(cfg, n, dtype))
+    return out
+
+
+def _init_spin(cfg: BeamConfig, n: int, dtype) -> dict:
+    """Initial spin, normalized (ref BeamParticleContainerInit.cpp:390-396)."""
+    if cfg.do_spin_tracking:
+        s0 = jnp.asarray(cfg.initial_spin, dtype)
+        s0 = s0 / jnp.linalg.norm(s0)
+        return {"sx": jnp.full((n,), s0[0], dtype),
+                "sy": jnp.full((n,), s0[1], dtype),
+                "sz": jnp.full((n,), s0[2], dtype)}
+    z = jnp.zeros((n,), dtype)
+    return {"sx": z, "sy": z, "sz": z}
 
 
 def _beam_profile_density(cfg, x, y, z, dtype):
@@ -300,25 +380,45 @@ def unbin_beam(binned: dict) -> dict:
 def advance_beam_slice(bp: dict, fields: dict, geom: Geometry,
                        cfg: BeamConfig, pc: PhysConst, dt, min_z,
                        order: int = 2, external_fields=None,
-                       time=0.0):
+                       time=0.0, background_density_SI: float = 0.0):
     """Push beam particles of one slice forward in time by dt
-    (ref BeamParticleAdvance.cpp:19-336). Subcycled leapfrog-like push.
+    (ref BeamParticleAdvance.cpp:19-336). Subcycled leapfrog-like push with
+    optional external fields, TBMT spin precession (:218-241) and Tamburini
+    radiation reaction (:244-299).
 
     bp: dict of (cap,) arrays. min_z: lower zeta edge of this slice —
     particles that slip below stop being pushed (their remaining subcycles
     continue when their new slice is processed; the resume counter is
     carried in 'nsub').
     """
+    from .. import constants as cst
+
     n_sub = cfg.n_subcycles
     dt = dt / n_sub
     clight = pc.c
+    inv_c = 1.0 / pc.c
     inv_c2 = 1.0 / (pc.c * pc.c)
     q_m = cfg.charge / cfg.mass
+    spin = cfg.do_spin_tracking
+    rr = cfg.do_radiation_reaction
+    normalized = pc.c == 1.0
+
+    if rr:
+        inv_c_SI = 1.0 / cst.SI_c
+        q_over_mc = (q_m / cst.SI_c * cst.SI_q_e / cst.SI_m_e
+                     if normalized else q_m / cst.SI_c)
+        rr_coeff = (2.0 / 3.0) * cst.SI_r_e * q_over_mc * q_over_mc
+        wp_inv = (1.0 / cst.plasma_frequency_SI(background_density_SI)
+                  if normalized else 1.0)
+        E0 = (cst.SI_m_e * cst.SI_c / wp_inv / cst.SI_q_e
+              if normalized else 1.0)
 
     x, y, z = bp["x"], bp["y"], bp["z"]
     ux, uy, uz = bp["ux"], bp["uy"], bp["uz"]
     w, valid = bp["w"], bp["valid"]
     nsub0 = bp["nsub"]
+    if spin:
+        sx, sy, sz = bp["sx"], bp["sy"], bp["sz"]
 
     stopped = jnp.zeros_like(valid)
     nsub_out = nsub0
@@ -351,7 +451,80 @@ def advance_beam_slice(bp: dict, fields: dict, geom: Geometry,
         uz_mid = uz + dt * 0.5 * q_m * ez
         gam_mid_inv = 1.0 / jnp.sqrt(
             1.0 + (ux_mid ** 2 + uy_mid ** 2 + uz_mid ** 2) * inv_c2)
+
+        if spin:
+            # TBMT precession (ref BeamParticleAdvance.cpp:218-241)
+            ex_v = exmby + clight * by
+            ey_v = eypbx - clight * bx
+            ubx = ux_mid * inv_c
+            uby = uy_mid * inv_c
+            ubz = uz_mid * inv_c
+            btx, bty, btz = (ubx * gam_mid_inv, uby * gam_mid_inv,
+                             ubz * gam_mid_inv)
+            g1 = gam_mid_inv / (1.0 + gam_mid_inv)
+            bXe_x = (bty * ez - btz * ey_v) * inv_c
+            bXe_y = (btz * ex_v - btx * ez) * inv_c
+            bXe_z = (btx * ey_v - bty * ex_v) * inv_c
+            bdotB = btx * bx + bty * by + btz * bz
+            aqm = jnp.abs(q_m)
+            a = cfg.spin_anom
+            omx = aqm * (bx * gam_mid_inv - bXe_x * g1
+                         + a * (bx - g1 * ubx * bdotB - bXe_x))
+            omy = aqm * (by * gam_mid_inv - bXe_y * g1
+                         + a * (by - g1 * uby * bdotB - bXe_y))
+            omz = aqm * (bz * gam_mid_inv - bXe_z * g1
+                         + a * (bz - g1 * ubz * bdotB - bXe_z))
+            hx, hy, hz = omx * dt * 0.5, omy * dt * 0.5, omz * dt * 0.5
+            spx = sx + (hy * sz - hz * sy)
+            spy = sy + (hz * sx - hx * sz)
+            spz = sz + (hx * sy - hy * sx)
+            o = 1.0 / (1.0 + hx * hx + hy * hy + hz * hz)
+            hdots = hx * spx + hy * spy + hz * spz
+            sx_n = o * (spx + hdots * hx + (hy * spz - hz * spy))
+            sy_n = o * (spy + hdots * hy + (hz * spx - hx * spz))
+            sz_n = o * (spz + hdots * hz + (hx * spy - hy * spx))
+            sx = jnp.where(active, sx_n, sx)
+            sy = jnp.where(active, sy_n, sy)
+            sz = jnp.where(active, sz_n, sz)
+
         uz_next = uz + dt * q_m * (ez + (ux_mid * by - uy_mid * bx) * gam_mid_inv)
+
+        if rr:
+            # Tamburini RR force (ref BeamParticleAdvance.cpp:244-299)
+            ex_v = exmby + clight * by
+            ey_v = eypbx - clight * bx
+            ez_v = ez
+            bx_v, by_v, bz_v = bx, by, bz
+            if normalized:
+                ex_v = ex_v * E0
+                ey_v = ey_v * E0
+                ez_v = ez_v * E0
+                bx_v = bx_v * E0 * inv_c_SI
+                by_v = by_v * E0 * inv_c_SI
+                bz_v = bz_v * E0 * inv_c_SI
+            gam_mid = 1.0 / gam_mid_inv
+            vx_n = ux_mid * gam_mid_inv * cst.SI_c * inv_c
+            vy_n = uy_mid * gam_mid_inv * cst.SI_c * inv_c
+            vz_n = uz_mid * gam_mid_inv * cst.SI_c * inv_c
+            bx_n, by_n, bz_n = (vx_n * inv_c_SI if normalized else vx_n / cst.SI_c,
+                                vy_n * inv_c_SI if normalized else vy_n / cst.SI_c,
+                                vz_n * inv_c_SI if normalized else vz_n / cst.SI_c)
+            flx = ex_v + vy_n * bz_v - vz_n * by_v
+            fly = ey_v + vz_n * bx_v - vx_n * bz_v
+            flz = ez_v + vx_n * by_v - vy_n * bx_v
+            fl2 = flx * flx + fly * fly + flz * flz
+            bdotE = bx_n * ex_v + by_n * ey_v + bz_n * ez_v
+            coeff = gam_mid * gam_mid * (fl2 - bdotE * bdotE)
+            frx = rr_coeff * (cst.SI_c * (fly * bz_v - flz * by_v)
+                              + bdotE * ex_v - coeff * bx_n)
+            fry = rr_coeff * (cst.SI_c * (flz * bx_v - flx * bz_v)
+                              + bdotE * ey_v - coeff * by_n)
+            frz = rr_coeff * (cst.SI_c * (flx * by_v - fly * bx_v)
+                              + bdotE * ez_v - coeff * bz_n)
+            fac = dt * wp_inv * clight * inv_c_SI if normalized else dt
+            ux_next = ux_next + frx * fac
+            uy_next = uy_next + fry * fac
+            uz_next = uz_next + frz * fac
 
         gam_next_inv = 1.0 / jnp.sqrt(
             1.0 + (ux_next ** 2 + uy_next ** 2 + uz_next ** 2) * inv_c2)
@@ -376,6 +549,8 @@ def advance_beam_slice(bp: dict, fields: dict, geom: Geometry,
     out = dict(bp)
     out.update(x=x, y=y, z=z, ux=ux, uy=uy, uz=uz, w=w, valid=valid,
                nsub=nsub_out)
+    if spin:
+        out.update(sx=sx, sy=sy, sz=sz)
     return out
 
 

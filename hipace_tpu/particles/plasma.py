@@ -49,6 +49,7 @@ class PlasmaConfig:
     # boundary handling: "Periodic" | "Reflecting" | "Absorbing"
     particle_boundary: str = "Periodic"
     density_expr: str = "1."
+    consts: tuple = ()
 
     @classmethod
     def from_inputs(cls, inputs: Inputs, name: str, pc: PhysConst,
@@ -95,12 +96,15 @@ class PlasmaConfig:
             min_density=q("min_density", 0.0),
             particle_boundary=particle_boundary,
             density_expr=density_expr,
+            consts=tuple(sorted((k, float(v)) for k, v in
+                                inputs.my_constants.items()
+                                if isinstance(v, (int, float)))),
         )
 
     def density_fn(self) -> Callable:
-        from ..parser import Inputs as _I
-        return _I(f"d(x,y,z) = {self.density_expr}").get_function(
-            "d", ("x", "y", "z"))
+        from ..parser import compile_function
+        return compile_function(self.density_expr, ("x", "y", "z"),
+                                self.consts)
 
 
 def init_plasma(cfg: PlasmaConfig, geom: Geometry, key, dtype,

@@ -99,6 +99,9 @@ class Simulation:
             plasmas=self.plasma_cfgs,
             beams=self.beam_cfgs,
             diag_comps=tuple(field_data),
+            background_density_SI=inputs.query(
+                "hipace.background_density_SI", 0.0),
+            grid_current=self._grid_current_cfg(inputs),
         )
 
         seed = inputs.query("hipace.random_seed", 0, int)
@@ -110,7 +113,7 @@ class Simulation:
             self.key, sub = jax.random.split(self.key)
             self.beams_flat.append(
                 bm.init_beam(bcfg, self.geom, sub, dtype,
-                             self.normalized_units))
+                             self.normalized_units, self.pc))
         self.beam_cap = self._plan_capacity()
         if self.beams_flat:
             self.binned = bm.bin_beam(self.beams_flat[0], self.geom,
@@ -133,6 +136,16 @@ class Simulation:
             self.normalized_units)
 
         self._step_fn = jax.jit(partial(self._time_step))
+
+    @staticmethod
+    def _grid_current_cfg(inputs):
+        """ref utils/GridCurrent.cpp: grid_current.use_grid_current etc."""
+        pp = inputs.prefix("grid_current")
+        if not pp.query("use_grid_current", False, bool):
+            return None
+        return (pp.get("peak_current_density"),
+                tuple(pp.get_list("position_mean")),
+                tuple(pp.get_list("position_std")))
 
     # ------------------------------------------------------------------
     def _plan_capacity(self) -> int:

@@ -52,6 +52,10 @@ class SimConfig:
     beams: tuple = ()
     slip_cap: int = 64
     diag_comps: tuple = ("ExmBy", "EypBx", "Ez", "Bx", "By", "Bz", "Psi")
+    background_density_SI: float = 0.0
+    # analytic grid current (ref utils/GridCurrent.{H,cpp}):
+    # (peak_current_density, mean xyz, std xyz) or None
+    grid_current: tuple | None = None
 
 
 THIS_COMPS_EXPLICIT = ("chi", "Sy", "Sx", "ExmBy", "EypBx", "Ez", "Bx", "By",
@@ -321,6 +325,25 @@ def make_slice_step(cfg: SimConfig, dtype):
         if cfg.deposit_rho:
             this["rho"] = this["rho"] + f["RhomJzIons"]["rhomjz"]
 
+        # ---- analytic grid current into jz (ref GridCurrent.cpp:26-71)
+        if cfg.grid_current is not None:
+            peak, mean, std = cfg.grid_current
+            # grid current uses z = lo + islice*dz (ref GridCurrent.cpp:46)
+            z_sl = g.prob_lo[2] + islice.astype(dtype) * g.dz
+            dz_n = (z_sl - mean[2]) / std[2]
+            long_fac = jnp.exp(-0.5 * dz_n * dz_n)
+            G = g.nguards
+            NY, NX = g.slice_shape
+            xs_ = (jnp.arange(NX, dtype=dtype) - G + 0.5) * g.dx + g.prob_lo[0]
+            ys_ = (jnp.arange(NY, dtype=dtype) - G + 0.5) * g.dy + g.prob_lo[1]
+            dxn = (xs_[None, :] - mean[0]) / std[0]
+            dyn = (ys_[:, None] - mean[1]) / std[1]
+            jz_add = peak * jnp.exp(-0.5 * (dxn * dxn + dyn * dyn)) * long_fac
+            jz_add = sl.set_interior(jnp.zeros_like(jz_add),
+                                     sl.interior(jz_add, g), g)
+            tgt = "jz_beam" if cfg.explicit else "jz"
+            this[tgt] = this[tgt] + jz_add
+
         # ---- Psi/ExmBy/EypBx/Ez/Bz solve
         this = _solve_psi_ez_bz(this, cfg, solver)
         f = dict(f, This=this)
@@ -365,7 +388,8 @@ def make_slice_step(cfg: SimConfig, dtype):
             bcfg = cfg.beams[0]
             combined = bm.advance_beam_slice(
                 combined, this, g, bcfg, pc, dt, min_z, order=order,
-                time=time)
+                external_fields=bcfg.external_field_fns(), time=time,
+                background_density_SI=cfg.background_density_SI)
             # particles that stopped mid-subcycles slip to the carry buffer
             incomplete = combined["valid"] & (combined["nsub"] > 0)
             perm = jnp.argsort(jnp.where(incomplete, 0, 1), stable=True)
