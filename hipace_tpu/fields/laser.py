@@ -1,0 +1,315 @@
+"""Laser envelope solver (Benedetti 2017 / Wake-T scheme).
+
+TPU-native re-design of MultiLaser (ref: /root/reference/src/laser/
+MultiLaser.{H,cpp}, Laser.{H,cpp}): the complex envelope A(x, y, zeta) is
+advanced one time step per slice by solving a 2D complex Helmholtz equation
+
+    (Laplacian_perp - a) A^{n+1}_j = rhs(A^n, A^{n-1}, neighbors, chi)
+
+with either the complex multigrid (hpmg solve2 equivalent,
+ref MultiLaser.cpp:430-607) or a periodic-FFT spectral solve
+(ref MultiLaser.cpp:610-780). The on-axis phase extraction and the djn
+phase-advance term follow MultiLaser.cpp:470-529.
+
+State layout per scan iteration (the reference's 18-component slice fab,
+ref MultiLaser.H:23-49, becomes complex jnp arrays):
+  xs:     n00j00, nm1j00        (streamed between steps)
+  carry:  n00jp1/jp2, nm1jp1/jp2, np1jp1/jp2
+  output: np1j00 (the advanced slice), also used as the next step's n00.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax.numpy as jnp
+
+from ..constants import PhysConst
+from ..geometry import Geometry
+from ..parser import Inputs, compile_function
+from .multigrid import MultiGrid
+from . import slices as sl
+
+
+@dataclasses.dataclass(frozen=True)
+class LaserPulseConfig:
+    """One pulse (ref Laser.{H,cpp}): gaussian or parsed profile."""
+    init_type: str = "gaussian"
+    a0: float = 0.0
+    w0: float = 0.0
+    L0: float = 0.0
+    CEP: float = 0.0
+    focal_distance: float = 0.0
+    position_mean: tuple[float, float, float] = (0.0, 0.0, 0.0)
+    propagation_angle_yz: float = 0.0
+    # default pi/2 makes the (pft - pi/2) rotation the identity
+    # (ref Laser.H:39)
+    PFT_yz: float = math.pi / 2.0
+    profile_real_expr: str = "0"
+    profile_imag_expr: str = "0"
+    consts: tuple = ()
+
+    @classmethod
+    def from_inputs(cls, inputs: Inputs, name: str, pc: PhysConst):
+        pp = inputs.prefix(name)
+        init_type = pp.query("init_type", "gaussian", str)
+        L0 = pp.query("L0", 0.0)
+        if pp.contains("tau"):
+            L0 = pp.get("tau") * pc.c
+        pr, pi = "0", "0"
+        f = pp.get_function("laser_real", ("x", "y", "z"))
+        if f is not None:
+            pr = f.expr
+            init_type = "parser" if pp.query("init_type", "", str) == "" else init_type
+        f = pp.get_function("laser_imag", ("x", "y", "z"))
+        if f is not None:
+            pi = f.expr
+        return cls(
+            init_type=init_type,
+            a0=pp.query("a0", 0.0),
+            w0=pp.query("w0", 0.0),
+            L0=L0,
+            CEP=pp.query("CEP", 0.0),
+            focal_distance=pp.query("focal_distance", 0.0),
+            position_mean=tuple(pp.query_list("position_mean", [0., 0., 0.])),
+            propagation_angle_yz=pp.query("propagation_angle_yz", 0.0),
+            PFT_yz=pp.query("PFT_yz", math.pi / 2.0),
+            profile_real_expr=pr, profile_imag_expr=pi,
+            consts=tuple(sorted((k, float(v)) for k, v in
+                                inputs.my_constants.items()
+                                if isinstance(v, (int, float)))),
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class LaserConfig:
+    """The laser subsystem (ref MultiLaser::ReadParameters)."""
+    pulses: tuple = ()
+    lambda0: float = 0.8e-6
+    solver_type: str = "multigrid"      # "multigrid" | "fft"
+    use_phase: bool = True
+    MG_tolerance_rel: float = 1e-4
+    MG_tolerance_abs: float = 0.0
+    MG_average_rhs: bool = True
+
+    @classmethod
+    def from_inputs(cls, inputs: Inputs, pc: PhysConst):
+        names = inputs.query_list("lasers.names", [], str)
+        if names == ["no_laser"]:
+            names = []
+        pulses = tuple(LaserPulseConfig.from_inputs(inputs, n, pc)
+                       for n in names)
+        pp = inputs.prefix("lasers")
+        return cls(
+            pulses=pulses,
+            lambda0=pp.query("lambda0", 0.8e-6),
+            solver_type=pp.query("solver_type", "multigrid", str),
+            use_phase=pp.query("use_phase", True, bool),
+            MG_tolerance_rel=pp.query("MG_tolerance_rel", 1e-4),
+            MG_tolerance_abs=pp.query("MG_tolerance_abs", 0.0),
+            MG_average_rhs=pp.query("MG_average_rhs", True, bool),
+        )
+
+    @property
+    def use_laser(self) -> bool:
+        return len(self.pulses) > 0
+
+
+def envelope_slice(lcfg: LaserConfig, geom: Geometry, islice, dtype):
+    """Initial envelope A0 at a zeta slice, all pulses summed
+    (ref MultiLaser.cpp:804-920 InitLaserSlice). islice may be traced."""
+    G = geom.nguards
+    NY, NX = geom.slice_shape
+    k0 = 2.0 * math.pi / lcfg.lambda0
+    x = (jnp.arange(NX, dtype=dtype) - G + 0.5) * geom.dx + geom.prob_lo[0]
+    y = (jnp.arange(NY, dtype=dtype) - G + 0.5) * geom.dy + geom.prob_lo[1]
+    X = x[None, :]
+    Y = y[:, None]
+    z = geom.z_pos_offset + islice * geom.dz
+    ctype = jnp.complex64 if dtype == jnp.float32 else jnp.complex128
+    env = jnp.zeros((NY, NX), ctype)
+    for p in lcfg.pulses:
+        if p.init_type == "gaussian":
+            x0, y0, z0 = p.position_mean
+            ang = p.propagation_angle_yz
+            pft = p.PFT_yz - math.pi / 2.0
+            xs = X - x0
+            ys = Y - y0
+            zs = z - z0
+            yp = math.cos(ang + pft) * ys - math.sin(ang + pft) * zs
+            zp = math.sin(ang + pft) * ys + math.cos(ang + pft) * zs
+            diffract = 1.0 + 1j * (zp - p.focal_distance
+                                   + z0 * math.cos(ang)) * 2.0 / (k0 * p.w0 ** 2)
+            inv_w2 = 1.0 / (p.w0 ** 2 * diffract)
+            pref = p.a0 / diffract
+            stc = pref * jnp.exp(-(zp * zp) / (p.L0 ** 2))
+            envp = stc * jnp.exp(-(xs * xs + yp * yp) * inv_w2) \
+                * jnp.exp(1j * (yp * k0 * ang) + p.CEP)
+            env = env + envp.astype(ctype)
+        else:  # parser
+            fr = compile_function(p.profile_real_expr, ("x", "y", "z"), p.consts)
+            fi = compile_function(p.profile_imag_expr, ("x", "y", "z"), p.consts)
+            zz = jnp.broadcast_to(jnp.asarray(z, dtype), (NY, NX))
+            env = env + (jnp.asarray(fr(X + 0 * Y, Y + 0 * X, zz), dtype)
+                         + 1j * jnp.asarray(fi(X + 0 * Y, Y + 0 * X, zz), dtype)
+                         ).astype(ctype)
+    # zero ghosts (valid region only), like the reference's tilebox fill
+    mask = jnp.zeros((NY, NX), bool).at[G:NY - G, G:NX - G].set(True)
+    return jnp.where(mask, env, 0.0)
+
+
+def initial_chi(lcfg: LaserConfig, plasma_cfgs, geom: Geometry, pc: PhysConst,
+                c_t, dtype):
+    """chi from the plasma density function (ref MultiLaser.cpp:294-331)."""
+    NY, NX = geom.slice_shape
+    G = geom.nguards
+    x = (jnp.arange(NX, dtype=dtype) - G + 0.5) * geom.dx + geom.prob_lo[0]
+    y = (jnp.arange(NY, dtype=dtype) - G + 0.5) * geom.dy + geom.prob_lo[1]
+    X = jnp.broadcast_to(x[None, :], (NY, NX))
+    Y = jnp.broadcast_to(y[:, None], (NY, NX))
+    chi = jnp.zeros((NY, NX), dtype)
+    for pcfg in plasma_cfgs:
+        fac = pcfg.charge ** 2 * pc.mu0 / pcfg.mass
+        if pcfg.can_ionize:
+            fac *= pcfg.init_ion_lev ** 2
+        fn = pcfg.density_fn()
+        dens = jnp.broadcast_to(
+            jnp.asarray(fn(X, Y, jnp.broadcast_to(c_t, X.shape)), dtype),
+            X.shape)
+        chi = chi + dens * fac
+    return chi
+
+
+def _on_axis_phase(a, geom: Geometry):
+    """Mean on-axis phase (ref MultiLaser.cpp:470-515): sum the central
+    cell(s), take the argument."""
+    G = geom.nguards
+    nx, ny = geom.nx, geom.ny
+    imid = (nx + 1) // 2 + G
+    jmid = (ny + 1) // 2 + G
+    if nx % 2 == 0:
+        ax = a[..., imid - 1] + a[..., imid]
+    else:
+        ax = a[..., imid]
+    if ny % 2 == 0:
+        v = ax[..., jmid - 1] + ax[..., jmid]
+    else:
+        v = ax[..., jmid]
+    return jnp.arctan2(v.imag, v.real)
+
+
+def make_laser_advance(lcfg: LaserConfig, geom: Geometry, pc: PhysConst,
+                       dtype):
+    """Build the per-slice laser advance: returns np1j00 given the state.
+
+    Implements both AdvanceSliceMG (ref MultiLaser.cpp:430-607) and
+    AdvanceSliceFFT (:610-780); `step0` selects the non-centered first-step
+    variant as a traced boolean via jnp.where on the coefficient sets.
+    """
+    g = geom
+    k0 = 2.0 * math.pi / lcfg.lambda0
+    c = pc.c
+    dx, dy, dz = g.dx, g.dy, g.dz
+    G = g.nguards
+    NY, NX = g.slice_shape
+    mg = MultiGrid(g.nx, g.ny, dx, dy, dtype) \
+        if lcfg.solver_type == "multigrid" else None
+
+    def lap_tr(a):
+        """Transverse Laplacian, zero on the valid-box edge
+        (ref MultiLaser.cpp: lapR/lapI edge guard)."""
+        lap = jnp.zeros_like(a)
+        lap = lap.at[1:-1, 1:-1].set(
+            (a[1:-1, 2:] + a[1:-1, :-2] - 2 * a[1:-1, 1:-1]) / (dx * dx)
+            + (a[2:, 1:-1] + a[:-2, 1:-1] - 2 * a[1:-1, 1:-1]) / (dy * dy))
+        # zero outside + on the edge of the valid box
+        mask = jnp.zeros_like(a.real, dtype=bool)
+        mask = mask.at[G + 1:NY - G - 1, G + 1:NX - G - 1].set(True)
+        return jnp.where(mask, lap, 0.0)
+
+    def advance(state, chi, dt, step):
+        """state: dict with complex (NY, NX) arrays n00j00, n00jp1, n00jp2,
+        nm1j00, nm1jp1, nm1jp2, np1jp1, np1jp2. chi: real (NY, NX).
+        Returns np1j00."""
+        n00j00 = state["n00j00"]
+        is0 = step == 0
+
+        if lcfg.use_phase:
+            tj00 = _on_axis_phase(state["n00j00"], g)
+            tjp1 = _on_axis_phase(state["n00jp1"], g)
+            tjp2 = _on_axis_phase(state["n00jp2"], g)
+            two_pi = 2.0 * math.pi
+            dt1 = tj00 - tjp1
+            dt2 = tjp1 - tjp2
+            dt1 = jnp.where(dt1 < -1.5 * math.pi, dt1 + two_pi, dt1)
+            dt1 = jnp.where(dt1 > 1.5 * math.pi, dt1 - two_pi, dt1)
+            dt2 = jnp.where(dt2 < -1.5 * math.pi, dt2 + two_pi, dt2)
+            dt2 = jnp.where(dt2 > 1.5 * math.pi, dt2 - two_pi, dt2)
+            exp1 = jnp.exp(1j * (tj00 - tjp1))
+            exp2 = jnp.exp(1j * (tj00 - tjp2))
+            djn = (-3.0 * dt1 + dt2) / (2.0 * dz)
+        else:
+            exp1 = jnp.asarray(1.0 + 0j)
+            exp2 = jnp.asarray(1.0 + 0j)
+            djn = jnp.asarray(0.0, dtype)
+
+        acoeff_r = jnp.where(is0, 6.0 / (c * dt * dz),
+                             3.0 / (c * dt * dz) + 2.0 / (c * c * dt * dt))
+        acoeff_i = jnp.where(is0, -4.0 * (k0 + djn) / (c * dt),
+                             -2.0 * (k0 + djn) / (c * dt))
+
+        lapA = jnp.where(is0, lap_tr(state["n00j00"]), lap_tr(state["nm1j00"]))
+
+        # rhs, both step variants (ref MultiLaser.cpp:536-596)
+        rhs0 = (+ 8.0 / (c * dt * dz) * (-state["np1jp1"] + state["n00jp1"]) * exp1
+                + 2.0 / (c * dt * dz) * (+state["np1jp2"] - state["n00jp2"]) * exp2
+                - lapA
+                + (-6.0 / (c * dt * dz) + 4.0j * djn / (c * dt)
+                   + 4.0j * k0 / (c * dt)) * n00j00)
+        rhs1 = (+ 4.0 / (c * dt * dz) * (-state["np1jp1"] + state["nm1jp1"]) * exp1
+                + 1.0 / (c * dt * dz) * (+state["np1jp2"] - state["nm1jp2"]) * exp2
+                - 4.0 / (c * c * dt * dt) * n00j00
+                - lapA
+                + (-3.0 / (c * dt * dz) + 2.0j * djn / (c * dt)
+                   + 2.0 / (c * c * dt * dt) + 2.0j * k0 / (c * dt))
+                * state["nm1j00"])
+        if lcfg.solver_type == "multigrid" and lcfg.MG_average_rhs:
+            rhs0 = rhs0 + chi * n00j00
+            rhs1 = rhs1 + chi * state["nm1j00"]
+        else:
+            rhs0 = rhs0 + 2.0 * chi * n00j00
+            rhs1 = rhs1 + 2.0 * chi * n00j00
+        rhs = jnp.where(is0, rhs0, rhs1)
+
+        if lcfg.solver_type == "fft":
+            # spectral solve with periodic Laplacian eigenvalues -(kx^2+ky^2)
+            # (ref MultiLaser.cpp:758-780)
+            rhs_i = sl.interior(rhs, g)
+            kx = 2.0 * math.pi * jnp.fft.fftfreq(g.nx, d=dx).astype(dtype)
+            ky = 2.0 * math.pi * jnp.fft.fftfreq(g.ny, d=dy).astype(dtype)
+            k2 = kx[None, :] ** 2 + ky[:, None] ** 2
+            acoeff = acoeff_r + 1j * acoeff_i
+            spec = jnp.fft.fft2(rhs_i)
+            sol = jnp.fft.ifft2(spec * (-1.0 / (k2 + acoeff)))
+            np1j00 = sl.set_interior(jnp.zeros_like(rhs), sol, g)
+        else:
+            # complex multigrid (hpmg solve2 equivalent)
+            acf_r = acoeff_r + sl.interior(chi, g) if lcfg.MG_average_rhs \
+                else jnp.broadcast_to(acoeff_r, (g.ny, g.nx))
+            acf = acf_r + 1j * acoeff_i
+            guess = sl.interior(state["np1jp1"], g)
+            sol = mg.solve(guess, sl.interior(rhs, g), acf,
+                           tol_rel=lcfg.MG_tolerance_rel,
+                           tol_abs=lcfg.MG_tolerance_abs, max_iters=40)
+            np1j00 = sl.set_interior(jnp.zeros_like(rhs), sol, g)
+        return np1j00
+
+    return advance
+
+
+def laser_empty_state(geom: Geometry, dtype) -> dict:
+    ctype = jnp.complex64 if dtype == jnp.float32 else jnp.complex128
+    z = jnp.zeros(geom.slice_shape, ctype)
+    return {k: z for k in ("n00j00", "n00jp1", "n00jp2", "nm1j00", "nm1jp1",
+                           "nm1jp2", "np1jp1", "np1jp2")}

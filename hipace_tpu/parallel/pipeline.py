@@ -74,6 +74,8 @@ def make_pipelined_evolve(cfg, dtype, n_devices: int, beam_cap: int,
     nz = g.nz
     slip_cap = cfg.slip_cap
     cap2 = beam_cap + slip_cap
+    assert not cfg.use_laser, \
+        "laser streaming through the device pipeline not wired up yet"
     slice_step = make_slice_step(cfg, dtype)
 
     def init_plasmas(key, c_t):

@@ -50,6 +50,12 @@ class PlasmaConfig:
     particle_boundary: str = "Periodic"
     density_expr: str = "1."
     consts: tuple = ()
+    # field ionization (ref PlasmaParticleContainer.cpp:380-461)
+    element: str = "electron"
+    ionization_product: str = ""
+    # per-level ADK constants (power, prefactor, exp_prefactor), attached by
+    # the driver once dz and the background density are known
+    adk: tuple = ()
 
     @classmethod
     def from_inputs(cls, inputs: Inputs, name: str, pc: PhysConst,
@@ -65,10 +71,15 @@ class PlasmaConfig:
             charge, mass = -pc.q_e, pc.m_e
         elif element == "positron":
             charge, mass = pc.q_e, pc.m_e
-        elif element in ("proton", "H+"):
+        elif element in ("proton",):
             charge, mass = pc.q_e, pc.m_p
         else:
-            charge, mass = pc.q_e, 0.0  # ion: mass must be given/ionizable
+            from ..utils.atomic_data import ATOMIC_WEIGHTS_DA
+            charge = pc.q_e
+            mass = pc.m_p * ATOMIC_WEIGHTS_DA.get(element, 1.007276466621) \
+                / 1.007276466621
+        if pp.contains("mass_Da"):
+            mass = pc.m_p * pp.get("mass_Da") / 1.007276466621
         mass = pp.query("mass", mass)
         charge = pp.query("charge", charge)
         init_ion_lev = pp.query("initial_ion_level", -1, int)
@@ -99,6 +110,8 @@ class PlasmaConfig:
             consts=tuple(sorted((k, float(v)) for k, v in
                                 inputs.my_constants.items()
                                 if isinstance(v, (int, float)))),
+            element=element,
+            ionization_product=pp.query("ionization_product", "", str),
         )
 
     def density_fn(self) -> Callable:

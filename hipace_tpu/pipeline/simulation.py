@@ -76,9 +76,15 @@ class Simulation:
             "diagnostic.field_data",
             ["ExmBy", "EypBx", "Ez", "Bx", "By", "Bz", "Psi"], str)
 
+        from ..fields.laser import LaserConfig
+        laser_cfg = LaserConfig.from_inputs(inputs, self.pc)
+        self.laser_stream = None  # (n00, nm1) complex (nz, NY, NX) arrays
+
         self.cfg = SimConfig(
             geom=self.geom,
             pc=self.pc,
+            use_laser=laser_cfg.use_laser,
+            laser=laser_cfg if laser_cfg.use_laser else None,
             normalized_units=self.normalized_units,
             explicit=(solver == "explicit"),
             depos_order_xy=depos_order,
@@ -169,7 +175,7 @@ class Simulation:
                                          c_t))
         return states
 
-    def _time_step(self, binned, time, dt, key):
+    def _time_step(self, binned, time, dt, key, step=0, laser_stream=None):
         """One full time step: the jitted hot path."""
         cfg = self.cfg
         g = self.geom
@@ -199,6 +205,13 @@ class Simulation:
             "beam_moments": zero_moments(self.dtype),
         }
         nz = g.nz
+        if cfg.use_laser:
+            from ..fields.laser import laser_empty_state, initial_chi
+            carry["laser"] = laser_empty_state(g, self.dtype)
+            carry["chi_initial"] = initial_chi(
+                cfg.laser, self.plasma_cfgs, g, self.pc, self.pc.c * time,
+                self.dtype)
+            carry["step"] = step
         beam_next = {k: jnp.concatenate([jnp.zeros_like(v[:1]), v[:-1]])
                      for k, v in binned.items() if k != "n_dropped"}
         beam_next["valid"] = beam_next["valid"].at[0].set(False)
@@ -207,6 +220,14 @@ class Simulation:
             "beam_this": {k: v for k, v in binned.items() if k != "n_dropped"},
             "beam_next": beam_next,
         }
+        if cfg.use_laser:
+            ctype = jnp.complex64 if self.dtype == jnp.float32 \
+                else jnp.complex128
+            if laser_stream is None:
+                zc = jnp.zeros((nz,) + g.slice_shape, ctype)
+                laser_stream = (zc, zc)
+            xs["laser_n00"] = laser_stream[0]
+            xs["laser_nm1"] = laser_stream[1]
         slice_step = make_slice_step(cfg, self.dtype)
         carry, ys = jax.lax.scan(slice_step, carry, xs, reverse=True)
 
@@ -224,13 +245,19 @@ class Simulation:
             "beam_moments": carry["beam_moments"],
             "pc_iters": ys["pc_iters"],
         }
+        if cfg.use_laser:
+            # stream for the next step: n00 <- np1, nm1 <- n00
+            out["laser_stream"] = (ys["laser_np1"], ys["laser_n00"])
         return out
 
     # ------------------------------------------------------------------
     def run_step(self, step: int):
         self.key, sub = jax.random.split(self.key)
         res = self._step_fn(self.binned, jnp.asarray(self.time, self.dtype),
-                            jnp.asarray(self.dt, self.dtype), sub)
+                            jnp.asarray(self.dt, self.dtype), sub,
+                            jnp.asarray(step, jnp.int32), self.laser_stream)
+        if self.cfg.use_laser:
+            self.laser_stream = res["laser_stream"]
         return res
 
     def _initial_beam_moments(self):
@@ -260,7 +287,8 @@ class Simulation:
             pre_push_binned = self.binned
             res = self.run_step(step)
             if write_output and self._do_output(step):
-                self._write_diagnostics(step, res["diag"], pre_push_binned)
+                self._write_diagnostics(step, res["diag"], pre_push_binned,
+                                        res.get("laser_stream"))
             self.binned = res["binned"]
             self.time += self.dt
             if self.adt_cfg.enabled and self.beam_cfgs:
@@ -280,24 +308,31 @@ class Simulation:
         return (step % p == 0) or step == self.max_step
 
     # ------------------------------------------------------------------
-    def _write_diagnostics(self, step: int, diag, pre_binned):
+    def _slice_diag(self, arr):
+        """Apply the diag_type slicing to a (nz, ny, nx) array."""
+        if self.diag_type == "xz":
+            ny = arr.shape[1]
+            if ny % 2 == 0:
+                return 0.5 * (arr[:, ny // 2 - 1, :] + arr[:, ny // 2, :])
+            return arr[:, ny // 2, :]
+        if self.diag_type == "yz":
+            nx = arr.shape[2]
+            if nx % 2 == 0:
+                return 0.5 * (arr[:, :, nx // 2 - 1] + arr[:, :, nx // 2])
+            return arr[:, :, nx // 2]
+        return arr
+
+    def _write_diagnostics(self, step: int, diag, pre_binned,
+                           laser_stream=None):
         diag = np.asarray(diag)  # (nz, ncomp, ny, nx)
         fields = {}
+        if laser_stream is not None:
+            G = self.geom.nguards
+            NY, NX = self.geom.slice_shape
+            a = np.asarray(laser_stream[1])[:, G:NY - G, G:NX - G]
+            fields["laserEnvelope"] = self._slice_diag(a)
         for ic, name in enumerate(self.cfg.diag_comps):
-            arr = diag[:, ic]
-            if self.diag_type == "xz":
-                ny = arr.shape[1]
-                if ny % 2 == 0:
-                    arr = 0.5 * (arr[:, ny // 2 - 1, :] + arr[:, ny // 2, :])
-                else:
-                    arr = arr[:, ny // 2, :]
-            elif self.diag_type == "yz":
-                nx = arr.shape[2]
-                if nx % 2 == 0:
-                    arr = 0.5 * (arr[:, :, nx // 2 - 1] + arr[:, :, nx // 2])
-                else:
-                    arr = arr[:, :, nx // 2]
-            fields[name] = arr
+            fields[name] = self._slice_diag(diag[:, ic])
         beams = {}
         for bcfg in self.beam_cfgs:
             b = {k: np.asarray(pre_binned[k].reshape(-1)) for k in bm.BEAM_ATTRS}

@@ -56,6 +56,7 @@ class SimConfig:
     # analytic grid current (ref utils/GridCurrent.{H,cpp}):
     # (peak_current_density, mean xyz, std xyz) or None
     grid_current: tuple | None = None
+    laser: object = None  # LaserConfig when use_laser
 
 
 THIS_COMPS_EXPLICIT = ("chi", "Sy", "Sx", "ExmBy", "EypBx", "Ez", "Bx", "By",
@@ -265,6 +266,9 @@ def make_slice_step(cfg: SimConfig, dtype):
     order = cfg.depos_order_xy
     solver = DirichletPoissonSolver(g.nx, g.ny, g.dx, g.dy, dtype)
     mg = MultiGrid(g.nx, g.ny, g.dx, g.dy, dtype) if cfg.explicit else None
+    if cfg.use_laser:
+        from ..fields.laser import make_laser_advance, envelope_slice
+        laser_advance = make_laser_advance(cfg.laser, g, pc, dtype)
 
     def slice_step(carry, xs):
         f = carry["fields"]
@@ -289,6 +293,17 @@ def make_slice_step(cfg: SimConfig, dtype):
         f = dict(f, This=this)
         if cfg.explicit:
             f["Next"] = {c: jnp.zeros_like(v) for c, v in f["Next"].items()}
+
+        # ---- laser: assemble this slice's envelope state and write aabs
+        # (ref Hipace.cpp:603 UpdateLaserAabs)
+        if cfg.use_laser:
+            step_idx = carry["step"]
+            env0 = envelope_slice(cfg.laser, g, islice.astype(dtype), dtype)
+            n00j00 = jnp.where(step_idx == 0, env0, xs["laser_n00"])
+            # nm1 is only read for step >= 1 (driver streams step s-1's n00)
+            lstate = dict(carry["laser"], n00j00=n00j00,
+                          nm1j00=xs["laser_nm1"])
+            this["aabs"] = jnp.abs(n00j00) ** 2
 
         # ---- plasma deposits on This
         if cfg.explicit:
@@ -347,6 +362,18 @@ def make_slice_step(cfg: SimConfig, dtype):
         # ---- Psi/ExmBy/EypBx/Ez/Bz solve
         this = _solve_psi_ez_bz(this, cfg, solver)
         f = dict(f, This=this)
+
+        # ---- laser envelope advance (ref Hipace.cpp:637 AdvanceSlice)
+        if cfg.use_laser:
+            # chi on the laser grid: field chi in the trusted interior,
+            # chi from the density profile near/outside the edge
+            # (ref MultiLaser.cpp:335-405 InterpolateChi)
+            G2 = 2 * g.nguards
+            NY, NX = g.slice_shape
+            trust = jnp.zeros((NY, NX), bool)
+            trust = trust.at[G2:NY - G2, G2:NX - G2].set(True)
+            chi_laser = jnp.where(trust, this["chi"], carry["chi_initial"])
+            np1j00 = laser_advance(lstate, chi_laser, dt, carry["step"])
 
         # ---- Bx/By solve
         if cfg.explicit:
@@ -438,6 +465,17 @@ def make_slice_step(cfg: SimConfig, dtype):
                      min_uz=min_uz, beam_moments=mom)
         ys = {"beam_out": emit, "diag": diag, "pc_err": pc_err,
               "pc_iters": pc_iters}
+
+        if cfg.use_laser:
+            # ShiftLaserSlices (ref MultiLaser.cpp:181-212)
+            carry["laser"] = {
+                "n00jp1": lstate["n00j00"], "n00jp2": lstate["n00jp1"],
+                "nm1jp1": lstate["nm1j00"], "nm1jp2": lstate["nm1jp1"],
+                "np1jp1": np1j00, "np1jp2": lstate["np1jp1"],
+                "n00j00": lstate["n00j00"], "nm1j00": lstate["nm1j00"],
+            }
+            ys["laser_np1"] = np1j00
+            ys["laser_n00"] = lstate["n00j00"]
         return carry, ys
 
     return slice_step
