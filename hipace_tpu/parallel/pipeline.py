@@ -83,7 +83,8 @@ def make_pipelined_evolve(cfg, dtype, n_devices: int, beam_cap: int,
         states = []
         for pcfg in cfg.plasmas:
             key, sub = jax.random.split(key)
-            states.append(pl.init_plasma(pcfg, g, sub, dtype, c_t))
+            states.append(pl.init_plasma(pcfg, g, sub, dtype, c_t,
+                                         cfg.normalized_units))
         return states
 
     def device_evolve(binned0, dt, key):

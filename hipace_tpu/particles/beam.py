@@ -66,6 +66,18 @@ class BeamConfig:
     spin_anom: float = 0.00115965218128  # electron anomalous moment
     # deck my_constants needed by expression-valued parameters (hashable)
     consts: tuple = ()
+    # fixed_weight_pdf (ref BeamParticleContainer.cpp:200-250): expressions
+    # of z for pdf, position mean/std (x,y) and momentum mean/std (x,y,z)
+    pdf_expr: str = "1."
+    pdf_pos_mean_expr: tuple = ("0.", "0.")
+    pdf_pos_std_expr: tuple = ("0.", "0.")
+    pdf_u_mean_expr: tuple = ("0.", "0.", "0.")
+    pdf_u_std_expr: tuple = ("0.", "0.", "0.")
+    pdf_ref_ratio: int = 4
+    peak_density_is_specified: bool = False
+    # from_file injection (ref BeamParticleContainer.cpp:252-276)
+    input_file: str = ""
+    file_iteration: int = 0
 
     @classmethod
     def from_inputs(cls, inputs: Inputs, name: str, pc: PhysConst,
@@ -92,13 +104,19 @@ class BeamConfig:
         profile = pp.query("profile", "gaussian", str)
         num_particles = pp.query("num_particles", 0, int)
         density = pp.query("density", 0.0)
-        position_std = tuple(pp.query_list("position_std", [0.0, 0.0, 0.0]))
-        pos_mean = pp.query_list("position_mean", ["0.", "0.", "0."], str)
+        if injection == "fixed_weight_pdf":
+            # position/momentum params are expressions of z, parsed below
+            position_std = (0.0, 0.0, 0.0)
+            pos_mean = ["0.", "0.", "0."]
+        else:
+            position_std = tuple(pp.query_list("position_std",
+                                               [0.0, 0.0, 0.0]))
+            pos_mean = pp.query_list("position_mean", ["0.", "0.", "0."], str)
 
         # total weight = m_total_charge / charge
         # (ref BeamParticleContainer.cpp:167-194, Init.cpp:425)
         total_charge = 0.0
-        if injection in ("fixed_weight", "fixed_weight_pdf"):
+        if injection == "fixed_weight":
             if pp.contains("total_charge"):
                 total_charge = pp.get("total_charge") / charge
             else:
@@ -108,6 +126,8 @@ class BeamConfig:
                     total_charge *= std * math.sqrt(2.0 * math.pi)
                 if normalized_units:
                     total_charge /= geom.dx * geom.dy * geom.dz
+        elif injection == "fixed_weight_pdf" and pp.contains("total_charge"):
+            total_charge = pp.get("total_charge") / charge
 
         density_expr = "1."
         f = pp.get_function("density", ("x", "y", "z"))
@@ -142,9 +162,12 @@ class BeamConfig:
             position_mean=(str(pos_mean[0]), str(pos_mean[1]),
                            float(Inputs(f"v = {pos_mean[2]}").get("v"))
                            if injection != "fixed_ppc" else 0.0),
-            position_std=position_std,
-            u_mean=tuple(pp.query_list("u_mean", [0.0, 0.0, 0.0])),
-            u_std=tuple(pp.query_list("u_std", [0.0, 0.0, 0.0])),
+            position_std=position_std
+            if injection != "fixed_weight_pdf" else (0.0, 0.0, 0.0),
+            u_mean=tuple(pp.query_list("u_mean", [0.0, 0.0, 0.0]))
+            if injection != "fixed_weight_pdf" else (0.0, 0.0, 0.0),
+            u_std=tuple(pp.query_list("u_std", [0.0, 0.0, 0.0]))
+            if injection != "fixed_weight_pdf" else (0.0, 0.0, 0.0),
             duz_per_uz0_dzeta=pp.query("duz_per_uz0_dzeta", 0.0),
             z_foc=pp.query("z_foc", 0.0),
             ppc=tuple(pp.query_list("ppc", [1, 1, 1], int)),
@@ -159,6 +182,23 @@ class BeamConfig:
             do_spin_tracking=q("do_spin_tracking", False, bool),
             initial_spin=tuple(pp.query_list("initial_spin", [0., 0., 1.])),
             spin_anom=q("spin_anom", 0.00115965218128),
+            pdf_expr=(inputs.raw(f"{name}.pdf(z)") or "1."),
+            pdf_pos_mean_expr=tuple(pp.query_list(
+                "position_mean", ["0.", "0."], str)[:2])
+            if injection == "fixed_weight_pdf" else ("0.", "0."),
+            pdf_pos_std_expr=tuple(pp.query_list(
+                "position_std", ["0.", "0."], str)[:2])
+            if injection == "fixed_weight_pdf" else ("0.", "0."),
+            pdf_u_mean_expr=tuple(pp.query_list(
+                "u_mean", ["0.", "0.", "0."], str))
+            if injection == "fixed_weight_pdf" else ("0.", "0.", "0."),
+            pdf_u_std_expr=tuple(pp.query_list(
+                "u_std", ["0.", "0.", "0."], str))
+            if injection == "fixed_weight_pdf" else ("0.", "0.", "0."),
+            pdf_ref_ratio=pp.query("pdf_ref_ratio", 4, int),
+            peak_density_is_specified=pp.contains("density"),
+            input_file=pp.query("input_file", "", str),
+            file_iteration=pp.query("iteration", 0, int),
             consts=tuple(sorted((k, float(v)) for k, v in
                                 inputs.my_constants.items()
                                 if isinstance(v, (int, float)))),
@@ -205,15 +245,112 @@ def init_beam(cfg: BeamConfig, geom: Geometry, key, dtype,
     velocities u = gamma*beta*c (ref AddOneBeamParticle: u * clight).
     """
     c = 1.0 if pc is None else pc.c
-    if cfg.injection_type in ("fixed_weight", "fixed_weight_pdf"):
+    if cfg.injection_type == "fixed_weight":
         out = _init_fixed_weight(cfg, geom, key, dtype)
+    elif cfg.injection_type == "fixed_weight_pdf":
+        out = _init_fixed_weight_pdf(cfg, geom, key, dtype, normalized_units)
     elif cfg.injection_type == "fixed_ppc":
         out = _init_fixed_ppc(cfg, geom, dtype, normalized_units)
+    elif cfg.injection_type == "from_file":
+        return _init_from_file(cfg, dtype)  # file momenta already u*c
     else:
         raise NotImplementedError(f"injection_type {cfg.injection_type}")
     if c != 1.0:
         out = dict(out, ux=out["ux"] * c, uy=out["uy"] * c,
                    uz=out["uz"] * c)
+    return out
+
+
+def _init_fixed_weight_pdf(cfg: BeamConfig, geom: Geometry, key, dtype,
+                           normalized_units: bool) -> dict:
+    """Longitudinal-PDF beam (ref BeamParticleContainerInit.cpp:477-695):
+    z sampled by inverse-CDF of the piecewise-linear pdf on a refined slice
+    grid; transverse/momentum moments are expressions of z."""
+    import numpy as np
+    from ..parser import compile_function
+
+    n = cfg.num_particles
+    pdf = compile_function(cfg.pdf_expr, ("z",), cfg.consts)
+    pos_f = [compile_function(e, ("z",), cfg.consts)
+             for e in cfg.pdf_pos_mean_expr + cfg.pdf_pos_std_expr]
+    u_f = [compile_function(e, ("z",), cfg.consts)
+           for e in cfg.pdf_u_mean_expr + cfg.pdf_u_std_expr]
+
+    nzf = geom.nz * cfg.pdf_ref_ratio
+    edges = np.linspace(geom.prob_lo[2], geom.prob_hi[2], nzf + 1)
+    pdf_e = np.maximum(np.asarray([float(np.asarray(pdf(z))) for z in edges]),
+                       0.0)
+    # piecewise-linear pdf -> piecewise-quadratic CDF
+    seg_w = 0.5 * (pdf_e[:-1] + pdf_e[1:])
+    cdf = np.concatenate([[0.0], np.cumsum(seg_w)])
+    integral = cdf[-1]
+    cdf = cdf / integral
+
+    ks = jax.random.split(key, 6)
+    u = jax.random.uniform(ks[0], (n,), dtype)
+    seg = jnp.clip(jnp.searchsorted(jnp.asarray(cdf), u) - 1, 0, nzf - 1)
+    # invert the quadratic CDF within the segment (ref Init.cpp:645-652)
+    lo_w = jnp.asarray(pdf_e, dtype)[seg]
+    hi_w = jnp.asarray(pdf_e, dtype)[seg + 1]
+    frac = (u - jnp.asarray(cdf, dtype)[seg]) / \
+        jnp.maximum(jnp.asarray(cdf[1:] - cdf[:-1], dtype)[seg], 1e-300)
+    dz = edges[1] - edges[0]
+    use_taylor = jnp.minimum(lo_w, hi_w) * 1.1 > jnp.maximum(lo_w, hi_w)
+    denom_t = hi_w + lo_w
+    denom_e = jnp.where(jnp.abs(hi_w - lo_w) > 0, hi_w - lo_w, 1.0)
+    z_t = frac - frac * (frac - 1.0) * (hi_w - lo_w) / jnp.maximum(denom_t, 1e-300)
+    z_e = (jnp.sqrt(lo_w ** 2 + frac * (hi_w ** 2 - lo_w ** 2)) - lo_w) / denom_e
+    z = jnp.asarray(edges[:-1], dtype)[seg] + dz * jnp.where(use_taylor, z_t, z_e)
+
+    x_mean = jnp.asarray(pos_f[0](z), dtype)
+    y_mean = jnp.asarray(pos_f[1](z), dtype)
+    x_std = jnp.broadcast_to(jnp.asarray(pos_f[2](z), dtype), z.shape)
+    y_std = jnp.broadcast_to(jnp.asarray(pos_f[3](z), dtype), z.shape)
+    x = x_std * jax.random.normal(ks[1], (n,), dtype)
+    y = y_std * jax.random.normal(ks[2], (n,), dtype)
+    valid = x * x + y * y <= cfg.radius ** 2
+    ux = jnp.asarray(u_f[0](z), dtype) + jnp.asarray(u_f[3](z), dtype) \
+        * jax.random.normal(ks[3], (n,), dtype)
+    uy = jnp.asarray(u_f[1](z), dtype) + jnp.asarray(u_f[4](z), dtype) \
+        * jax.random.normal(ks[4], (n,), dtype)
+    uz = jnp.asarray(u_f[2](z), dtype) + jnp.asarray(u_f[5](z), dtype) \
+        * jax.random.normal(ks[5], (n,), dtype)
+    ux = jnp.broadcast_to(ux, z.shape)
+    uy = jnp.broadcast_to(uy, z.shape)
+    uz = jnp.broadcast_to(uz, z.shape)
+    x = x - cfg.z_foc * ux / uz + x_mean
+    y = y - cfg.z_foc * uy / uz + y_mean
+
+    # total weight (ref Init.cpp:514-542)
+    if cfg.peak_density_is_specified:
+        mids = 0.5 * (edges[:-1] + edges[1:])
+        xs_std = np.array([float(np.asarray(pos_f[2](zm))) for zm in mids])
+        ys_std = np.array([float(np.asarray(pos_f[3](zm))) for zm in mids])
+        max_density = np.max(seg_w / (dz * xs_std * ys_std * 2.0 * math.pi))
+        total_weight = cfg.density * integral / max_density
+    else:
+        total_weight = cfg.total_charge
+    if normalized_units:
+        total_weight /= geom.dx * geom.dy * geom.dz
+    w = jnp.where(valid, total_weight / max(n, 1), 0.0).astype(dtype)
+
+    out = {"x": x, "y": y, "z": z, "ux": ux, "uy": uy, "uz": uz,
+           "w": w, "valid": valid, "nsub": jnp.zeros((n,), jnp.int32)}
+    out.update(_init_spin(cfg, n, dtype))
+    return out
+
+
+def _init_from_file(cfg: BeamConfig, dtype) -> dict:
+    """Read a beam from an openPMD file written by this framework or the
+    reference (ref BeamParticleContainerInit.cpp:698+; restart mechanism)."""
+    from ..diagnostics.openpmd import read_beam
+    b = read_beam(cfg.input_file, cfg.file_iteration, cfg.name)
+    n = b["x"].size
+    out = {k: jnp.asarray(b[k], dtype) for k in
+           ("x", "y", "z", "ux", "uy", "uz", "w")}
+    out["valid"] = jnp.ones((n,), bool)
+    out["nsub"] = jnp.zeros((n,), jnp.int32)
+    out.update(_init_spin(cfg, n, dtype))
     return out
 
 

@@ -121,7 +121,7 @@ class PlasmaConfig:
 
 
 def init_plasma(cfg: PlasmaConfig, geom: Geometry, key, dtype,
-                c_t: float = 0.0) -> dict:
+                c_t: float = 0.0, normalized_units: bool = True) -> dict:
     """Initialize the slice plasma population (ref PlasmaParticleContainerInit.cpp:17-378).
 
     Fixed ppc per transverse cell; weight = density / num_ppc (normalized
@@ -153,7 +153,15 @@ def init_plasma(cfg: PlasmaConfig, geom: Geometry, key, dtype,
     valid = ((dens > cfg.min_density)
              & (rsq <= cfg.radius ** 2)
              & (rsq >= cfg.hollow_core_radius ** 2))
-    w = jnp.where(valid, dens / nppc, 0.0)
+    # scale factor: 1/ppc in normalized units, cell volume/ppc in SI
+    # (ref PlasmaParticleContainerInit.cpp:40-45)
+    if nppc == 0:
+        scale = 0.0  # empty species (e.g. ionization product with ppc 0 0)
+    elif normalized_units:
+        scale = 1.0 / nppc
+    else:
+        scale = geom.dx * geom.dy * geom.dz / nppc
+    w = jnp.where(valid, dens * scale, 0.0)
 
     if any(s != 0.0 for s in cfg.u_std):
         kx, ky, kz = jax.random.split(key, 3)
@@ -166,7 +174,16 @@ def init_plasma(cfg: PlasmaConfig, geom: Geometry, key, dtype,
         u2 = jnp.full((n,), cfg.u_mean[2], dtype)
 
     psi = jnp.sqrt(1.0 + u0 * u0 + u1 * u1 + u2 * u2) - u2
-    ion_lev = jnp.full((n,), max(cfg.init_ion_lev, 1), jnp.int32)
+    # momenta stored as proper velocity u*c (ref Init.cpp:296-297); psi is
+    # computed from the dimensionless u first
+    if not normalized_units:
+        from ..constants import SI_c
+        u0 = u0 * SI_c
+        u1 = u1 * SI_c
+    # ionizable species start at their configured level (may be 0 = neutral);
+    # non-ionizable species use 1 so the ion_lev factor is a no-op
+    lev0 = cfg.init_ion_lev if cfg.can_ionize else 1
+    ion_lev = jnp.full((n,), lev0, jnp.int32)
     # u stored as proper velocity (* c), ref Init.cpp:296-297
     return {
         "x": x, "y": y, "w": w,
@@ -241,6 +258,124 @@ def enforce_particle_bc(x, y, ux, uy, w, valid, geom: Geometry, mode: str):
     w = jnp.where(out, 0.0, w)
     valid = valid & ~out
     return x, y, ux, uy, w, valid
+
+
+def adk_constants(cfg: PlasmaConfig, dz: float, normalized_units: bool,
+                  background_density_SI: float):
+    """Per-level ADK constants (power, prefactor, exp_prefactor)
+    (ref PlasmaParticleContainer.cpp:415-453, Chen JCP 236 (2013) eq. 2)."""
+    import math
+    from .. import constants as cst
+    from ..utils.atomic_data import IONIZATION_ENERGIES_EV
+
+    energies = IONIZATION_ENERGIES_EV[cfg.element]
+    alpha = 0.0072973525693
+    r_e = 2.8179403227e-15
+    a3 = alpha ** 3
+    a4 = a3 * alpha
+    wa = a3 * cst.SI_c / r_e
+    Ea = cst.SI_m_e * cst.SI_c ** 2 / cst.SI_q_e * a4 / r_e
+    UH = IONIZATION_ENERGIES_EV["H"][0]
+    l_eff = math.sqrt(UH / energies[0]) - 1.0
+
+    if normalized_units:
+        wp = cst.plasma_frequency_SI(background_density_SI)
+        dt = dz / wp
+    else:
+        dt = dz / cst.SI_c
+
+    out = []
+    for i, Uion in enumerate(energies):
+        n_eff = (i + 1) * math.sqrt(UH / Uion)
+        C2 = 2.0 ** (2 * n_eff) / (n_eff * math.gamma(n_eff + l_eff + 1)
+                                   * math.gamma(n_eff - l_eff))
+        power = -(2 * n_eff - 1)
+        prefactor = dt * wa * C2 * (Uion / (2 * UH)) \
+            * (2 * (Uion / UH) ** 1.5 * Ea) ** (2 * n_eff - 1)
+        exp_prefactor = -2.0 / 3.0 * (Uion / UH) ** 1.5 * Ea
+        out.append((power, prefactor, exp_prefactor))
+    return tuple(out)
+
+
+def ionization_module(ion: dict, elec: dict, fields: dict, geom: Geometry,
+                      ion_cfg: PlasmaConfig, pc: PhysConst, order: int,
+                      normalized_units: bool, background_density_SI: float,
+                      spawn_base: int, elec_init_ion_lev: int, key):
+    """ADK field ionization (ref PlasmaParticleContainer.cpp:263-440).
+
+    Gathers E at the ion's last non-temp position, draws the tunnel
+    ionization probability, promotes ion_lev and spawns an electron into the
+    product's pre-allocated slot: spawn_base + parent_index*nlev + level.
+    Fully static shapes: each parent owns nlev electron slots.
+    """
+    import jax
+    from .. import constants as cst
+
+    nlev = len(ion_cfg.adk)
+    x, y = ion["x_prev"], ion["y_prev"]
+    n = x.size
+    exmby, eypbx, ez, bx, by, bz = gather_main_fields(
+        x, y, fields["Psi"], fields["Ez"], fields["Bx"], fields["By"],
+        fields["Bz"], geom, order)
+    ex = exmby + by * pc.c
+    ey = eypbx - bx * pc.c
+    if normalized_units:
+        wp = cst.plasma_frequency_SI(background_density_SI)
+        E0 = wp * cst.SI_m_e * cst.SI_c / cst.SI_q_e
+    else:
+        E0 = 1.0
+    Ep = jnp.sqrt(ex * ex + ey * ey + ez * ez) * E0
+    Ep = jnp.maximum(Ep, 1e-30)
+
+    clight_sq = 1.0 / (pc.c * pc.c)
+    psi_h = ion["psi_half"]
+    gammap = (1.0 + ion["ux_half"] ** 2 * clight_sq
+              + ion["uy_half"] ** 2 * clight_sq
+              + psi_h * psi_h) / (2.0 * psi_h)
+
+    lev = jnp.clip(ion["ion_lev"], 0, nlev - 1)
+    powers = jnp.asarray([a[0] for a in ion_cfg.adk], Ep.dtype)[lev]
+    prefs = jnp.asarray([a[1] for a in ion_cfg.adk], Ep.dtype)[lev]
+    exp_prefs = jnp.asarray([a[2] for a in ion_cfg.adk], Ep.dtype)[lev]
+
+    w_dtau = gammap / psi_h * prefs * Ep ** powers * jnp.exp(exp_prefs / Ep)
+    prob = 1.0 - jnp.exp(-w_dtau)
+    draw = jax.random.uniform(key, (n,), Ep.dtype)
+    can = ion["valid"] & (ion["ion_lev"] < nlev)
+    ionized = can & (draw < prob)
+
+    new_ion = dict(ion)
+    new_ion["ion_lev"] = ion["ion_lev"] + ionized.astype(jnp.int32)
+
+    # spawn electrons: unique static slots
+    slot = spawn_base + jnp.arange(n) * nlev + jnp.clip(ion["ion_lev"], 0,
+                                                        nlev - 1)
+    slot = jnp.where(ionized, slot, elec["x"].size)  # drop bucket
+
+    def put(arr, vals):
+        ext = jnp.concatenate([arr, jnp.zeros((1,), arr.dtype)])
+        return ext.at[slot].set(vals)[:-1]
+
+    new_elec = dict(elec)
+    zero = jnp.zeros_like(x)
+    one = jnp.ones_like(x)
+    new_elec["x"] = put(elec["x"], ion["x"])
+    new_elec["y"] = put(elec["y"], ion["y"])
+    new_elec["w"] = put(elec["w"], ion["w"])
+    new_elec["ux"] = put(elec["ux"], zero)
+    new_elec["uy"] = put(elec["uy"], zero)
+    new_elec["psi"] = put(elec["psi"], one)
+    new_elec["x_prev"] = put(elec["x_prev"], ion["x_prev"])
+    new_elec["y_prev"] = put(elec["y_prev"], ion["y_prev"])
+    new_elec["ux_half"] = put(elec["ux_half"], zero)
+    new_elec["uy_half"] = put(elec["uy_half"], zero)
+    new_elec["psi_half"] = put(elec["psi_half"], one)
+    new_elec["ion_lev"] = put(elec["ion_lev"],
+                              jnp.full((n,), max(elec_init_ion_lev, 1),
+                                       jnp.int32))
+    vext = jnp.concatenate([elec["valid"], jnp.zeros((1,), bool)])
+    new_elec["valid"] = vext.at[slot].set(ionized)[:-1]
+    return new_ion, new_elec
 
 
 def advance_plasma(p: dict, fields: dict, geom: Geometry, cfg: PlasmaConfig,

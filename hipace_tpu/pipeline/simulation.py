@@ -57,9 +57,32 @@ class Simulation:
         plasma_names = inputs.query_list("plasmas.names", [], str)
         if plasma_names == ["no_plasma"]:
             plasma_names = []
-        self.plasma_cfgs = tuple(
+        plasma_cfgs = [
             pl.PlasmaConfig.from_inputs(inputs, n, self.pc, particle_bc)
-            for n in plasma_names)
+            for n in plasma_names]
+
+        # field ionization wiring: attach ADK constants, compute product
+        # spawn capacities and slot bases (static per-parent slot blocks)
+        bg_si = inputs.query("hipace.background_density_SI", 0.0)
+        ionization_pairs = []
+        self._spawn_extra = [0] * len(plasma_cfgs)
+        for i, pcfg in enumerate(plasma_cfgs):
+            if pcfg.can_ionize and pcfg.ionization_product:
+                import dataclasses as _dc
+                adk = pl.adk_constants(pcfg, self.geom.dz,
+                                       self.normalized_units, bg_si)
+                plasma_cfgs[i] = _dc.replace(pcfg, adk=adk)
+                j = plasma_names.index(pcfg.ionization_product)
+                parent_count = (self.geom.nx * self.geom.ny
+                                * pcfg.ppc[0] * pcfg.ppc[1])
+                own = (self.geom.nx * self.geom.ny
+                       * plasma_cfgs[j].ppc[0] * plasma_cfgs[j].ppc[1])
+                spawn_base = own + self._spawn_extra[j]
+                self._spawn_extra[j] += parent_count * len(adk)
+                ionization_pairs.append(
+                    (i, j, spawn_base, plasma_cfgs[j].init_ion_lev))
+        self.plasma_cfgs = tuple(plasma_cfgs)
+        self.ionization_pairs = tuple(ionization_pairs)
 
         beam_names = inputs.query_list("beams.names", [], str)
         if beam_names == ["no_beam"]:
@@ -108,7 +131,21 @@ class Simulation:
             background_density_SI=inputs.query(
                 "hipace.background_density_SI", 0.0),
             grid_current=self._grid_current_cfg(inputs),
+            ionization_pairs=self.ionization_pairs,
+            insitu_beam_period=max(
+                [inputs.query(f"{b.name}.insitu_period",
+                              inputs.query("beams.insitu_period", 0, int), int)
+                 for b in self.beam_cfgs] or [0]),
+            insitu_field_period=inputs.query("fields.insitu_period", 0, int),
+            insitu_plasma_period=max(
+                [inputs.query(f"{p.name}.insitu_period",
+                              inputs.query("plasmas.insitu_period", 0, int),
+                              int)
+                 for p in self.plasma_cfgs] or [0]),
+            insitu_radius=inputs.query("beams.insitu_radius",
+                                       float("inf")),
         )
+        self._insitu_writers = {}
 
         seed = inputs.query("hipace.random_seed", 0, int)
         self.key = jax.random.PRNGKey(seed)
@@ -169,10 +206,21 @@ class Simulation:
     # ------------------------------------------------------------------
     def _init_plasma_state(self, key, c_t):
         states = []
-        for pcfg in self.plasma_cfgs:
+        for i, pcfg in enumerate(self.plasma_cfgs):
             key, sub = jax.random.split(key)
-            states.append(pl.init_plasma(pcfg, self.geom, sub, self.dtype,
-                                         c_t))
+            st = pl.init_plasma(pcfg, self.geom, sub, self.dtype, c_t,
+                                self.normalized_units)
+            extra = self._spawn_extra[i] if hasattr(self, "_spawn_extra") else 0
+            if extra:
+                # pre-allocated (invalid) slots for ionization products;
+                # psi pads with 1 so 1/psi of masked slots stays finite
+                pad = {}
+                for k, v in st.items():
+                    fill = 1.0 if k in ("psi", "psi_half") else 0
+                    z = jnp.full((extra,), fill, v.dtype)
+                    pad[k] = jnp.concatenate([v, z])
+                st = pad
+            states.append(st)
         return states
 
     def _time_step(self, binned, time, dt, key, step=0, laser_stream=None):
@@ -204,6 +252,9 @@ class Simulation:
             "min_uz": jnp.asarray(jnp.inf, self.dtype),
             "beam_moments": zero_moments(self.dtype),
         }
+        if cfg.ionization_pairs:
+            key, sub = jax.random.split(key)
+            carry["key"] = sub
         nz = g.nz
         if cfg.use_laser:
             from ..fields.laser import laser_empty_state, initial_chi
@@ -248,6 +299,9 @@ class Simulation:
         if cfg.use_laser:
             # stream for the next step: n00 <- np1, nm1 <- n00
             out["laser_stream"] = (ys["laser_np1"], ys["laser_n00"])
+        for k in ("insitu_beam", "insitu_field", "insitu_plasma"):
+            if k in ys:
+                out[k] = ys[k]
         return out
 
     # ------------------------------------------------------------------
@@ -289,6 +343,8 @@ class Simulation:
             if write_output and self._do_output(step):
                 self._write_diagnostics(step, res["diag"], pre_push_binned,
                                         res.get("laser_stream"))
+            if write_output:
+                self._write_insitu(step, res)
             self.binned = res["binned"]
             self.time += self.dt
             if self.adt_cfg.enabled and self.beam_cfgs:
@@ -308,6 +364,44 @@ class Simulation:
         return (step % p == 0) or step == self.max_step
 
     # ------------------------------------------------------------------
+    def _write_insitu(self, step, res):
+        """Write reduced diagnostics (ref Hipace.cpp:487-490)."""
+        from ..diagnostics import insitu as ins
+        inputs = self.inputs
+        cfg = self.cfg
+
+        def writer(kind, name, default_prefix, key):
+            prefix = inputs.query(key, default_prefix, str)
+            wkey = (kind, name)
+            if wkey not in self._insitu_writers:
+                self._insitu_writers[wkey] = ins.InsituWriter(prefix, name)
+            return self._insitu_writers[wkey]
+
+        if "insitu_beam" in res and cfg.insitu_beam_period \
+                and step % cfg.insitu_beam_period == 0:
+            b = self.beam_cfgs[0]
+            rec = ins.beam_record(step, self.time,
+                                  res["insitu_beam"], b.charge, b.mass,
+                                  self.geom, self.normalized_units)
+            writer("beam", b.name, "diags/insitu",
+                   f"{b.name}.insitu_file_prefix").write_record(rec)
+        if "insitu_field" in res and cfg.insitu_field_period \
+                and step % cfg.insitu_field_period == 0:
+            rec = ins.field_record(step, self.time,
+                                   res["insitu_field"], self.geom,
+                                   self.normalized_units)
+            writer("field", "field", "diags/field_insitu",
+                   "fields.insitu_file_prefix").write_record(rec)
+        if "insitu_plasma" in res and cfg.insitu_plasma_period \
+                and step % cfg.insitu_plasma_period == 0:
+            for i, p in enumerate(self.plasma_cfgs):
+                rec = ins.plasma_record(step, self.time,
+                                        res["insitu_plasma"][:, i],
+                                        p.charge, p.mass, self.geom,
+                                        self.normalized_units)
+                writer("plasma", p.name, "diags/plasma_insitu",
+                       f"{p.name}.insitu_file_prefix").write_record(rec)
+
     def _slice_diag(self, arr):
         """Apply the diag_type slicing to a (nz, ny, nx) array."""
         if self.diag_type == "xz":

@@ -57,6 +57,13 @@ class SimConfig:
     # (peak_current_density, mean xyz, std xyz) or None
     grid_current: tuple | None = None
     laser: object = None  # LaserConfig when use_laser
+    # (parent_idx, product_idx, spawn_base, product_init_ion_lev)
+    ionization_pairs: tuple = ()
+    # in-situ diagnostics periods (0 = off) and radii
+    insitu_beam_period: int = 0
+    insitu_field_period: int = 0
+    insitu_plasma_period: int = 0
+    insitu_radius: float = float("inf")
 
 
 THIS_COMPS_EXPLICIT = ("chi", "Sy", "Sx", "ExmBy", "EypBx", "Ez", "Bx", "By",
@@ -403,6 +410,30 @@ def make_slice_step(cfg: SimConfig, dtype):
         # ---- per-slice diagnostics (interior of selected comps)
         diag = jnp.stack([sl.interior(this[c], g) for c in cfg.diag_comps])
 
+        # ---- in-situ reduced diagnostics (ref Hipace.cpp:681-688)
+        from ..diagnostics import insitu as ins
+        extra_ys = {}
+        if cfg.insitu_field_period and cfg.explicit:
+            extra_ys["insitu_field"] = ins.field_slice_moments(
+                this, g, pc, g.dx * g.dy * g.dz)
+        if cfg.insitu_plasma_period:
+            extra_ys["insitu_plasma"] = jnp.stack([
+                ins.plasma_slice_moments(p, pc, cfg.insitu_radius)
+                for p in plasmas])
+
+        # ---- field ionization (ref Hipace.cpp:693-696)
+        if cfg.ionization_pairs:
+            key = carry["key"]
+            for (ip_i, prod_i, spawn_base, prod_init_lev) in cfg.ionization_pairs:
+                key, sub = jax.random.split(key)
+                plasmas = list(plasmas)
+                plasmas[ip_i], plasmas[prod_i] = pl.ionization_module(
+                    plasmas[ip_i], plasmas[prod_i], this, g,
+                    cfg.plasmas[ip_i], pc, order, cfg.normalized_units,
+                    cfg.background_density_SI, spawn_base, prod_init_lev,
+                    sub)
+            carry = dict(carry, key=key)
+
         # ---- push plasma (ref Hipace.cpp:698-701)
         plasmas = [pl.advance_plasma(p, this, g, pcfg, pc, temp_slice=False,
                                      order=order, use_laser=cfg.use_laser)
@@ -411,6 +442,10 @@ def make_slice_step(cfg: SimConfig, dtype):
         # ---- push beam: this slice + slipped carry (ref Hipace.cpp:706-709)
         combined = {k: jnp.concatenate([xs["beam_this"][k], slip[k]])
                     for k in bm.BEAM_ATTRS + ("nsub", "valid")}
+        if cfg.insitu_beam_period and cfg.beams:
+            # pre-push moments (ref Hipace.cpp:681: after SALAME, before push)
+            extra_ys["insitu_beam"] = ins.beam_slice_moments(
+                combined, pc, cfg.insitu_radius)
         if cfg.beams:
             bcfg = cfg.beams[0]
             combined = bm.advance_beam_slice(
@@ -464,7 +499,7 @@ def make_slice_step(cfg: SimConfig, dtype):
         carry = dict(carry, fields=f, plasma=plasmas, slip=new_slip,
                      min_uz=min_uz, beam_moments=mom)
         ys = {"beam_out": emit, "diag": diag, "pc_err": pc_err,
-              "pc_iters": pc_iters}
+              "pc_iters": pc_iters, **extra_ys}
 
         if cfg.use_laser:
             # ShiftLaserSlices (ref MultiLaser.cpp:181-212)

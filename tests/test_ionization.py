@@ -1,0 +1,114 @@
+"""ADK field ionization (ref PlasmaParticleContainer.cpp:263-461).
+
+Reduced version of /root/reference/examples/blowout_wake/inputs_ionization_SI:
+a dense beam's space-charge field tunnel-ionizes hydrogen; spawned electrons
+join the `elec` species.
+"""
+
+import math
+
+import numpy as np
+
+from hipace_tpu.parser import Inputs
+from hipace_tpu.pipeline.simulation import Simulation
+from hipace_tpu.particles.plasma import adk_constants, PlasmaConfig
+
+DECK = """
+amr.n_cell = 32 32 50
+my_constants.ne = 1.25e24
+my_constants.wp = sqrt(ne * q_e^2 / (epsilon0 * m_e))
+my_constants.kp = wp / clight
+my_constants.kp_inv = 1. / kp
+max_step = 0
+hipace.dt = 0.
+hipace.depos_order_xy = 2
+boundary.field = Dirichlet
+boundary.particle = Periodic
+geometry.prob_lo = -20.e-6 -20.e-6 -30.e-6
+geometry.prob_hi =  20.e-6  20.e-6  30.e-6
+beams.names = beam
+beam.injection_type = fixed_ppc
+beam.profile = flattop
+beam.zmin = 25.e-6 - 2. * kp_inv
+beam.zmax = 25.e-6
+beam.radius = kp_inv / 2
+beam.density = 4. * ne
+beam.u_mean = 0. 0. 2000
+beam.u_std = 0. 0. 0.
+beam.ppc = 1 1 1
+plasmas.names = elec ion
+elec.density(x,y,z) = ne
+elec.ppc = 0 0
+elec.element = electron
+elec.neutralize_background = false
+ion.density(x,y,z) = ne
+ion.ppc = 1 1
+ion.element = H
+ion.mass_Da = 1.008
+ion.initial_ion_level = 0
+ion.ionization_product = elec
+diagnostic.output_period = 0
+"""
+
+
+def test_adk_constants_hydrogen():
+    cfg = PlasmaConfig(element="H")
+    adk = adk_constants(cfg, dz=1.2e-6, normalized_units=False,
+                        background_density_SI=0.0)
+    assert len(adk) == 1
+    power, pref, exp_pref = adk[0]
+    # hydrogen: n_eff = 1, l_eff = 0 -> power = -1, C2 = 4
+    assert abs(power + 1.0) < 1e-12
+    # exp prefactor = -2/3 * Ea (UH/UH = 1)
+    Ea = 9.1093837015e-31 * (299792458.0) ** 2 / 1.602176634e-19 \
+        * 0.0072973525693 ** 4 / 2.8179403227e-15
+    assert abs(exp_pref + 2.0 / 3.0 * Ea) / Ea < 1e-10
+    assert pref > 0.0
+
+
+def test_ionization_spawns_electrons():
+    sim = Simulation(Inputs(DECK), verbose=0)
+    assert sim.ionization_pairs, "ionization pair not configured"
+    res = sim.run_step(0)
+    # inspect the final plasma state is not returned; rerun pieces:
+    # instead check indirectly via a 1-step run where spawned electrons
+    # shield the beam: rho of elec should be nonzero near the beam region.
+    # Simpler: call the jitted step internals directly
+    import jax
+    import jax.numpy as jnp
+    plasmas = sim._init_plasma_state(jax.random.PRNGKey(0), 0.0)
+    ion = plasmas[1]
+    n_ion_valid = int(np.sum(np.asarray(ion["valid"])))
+    assert n_ion_valid == 32 * 32
+
+    # run one full step and capture electron creation via deposits:
+    # the 'elec' species starts empty (ppc 0 0); after the sweep, spawned
+    # electrons must carry weight. We re-run the scan manually for slices
+    # near the beam via the public step function and check rho.
+    # (run_step already succeeded; do a cheap sanity re-run with deposit_rho)
+    sim2 = Simulation(Inputs(DECK, overrides=[
+        "hipace.deposit_rho=1",
+        "diagnostic.field_data = Ez rho ExmBy"]), verbose=0)
+    res2 = sim2.run_step(0)
+    diag = np.asarray(res2["diag"])
+    comps = sim2.cfg.diag_comps
+    rho = diag[:, comps.index("rho")]
+    # rho = elec + ion contributions; since ions have ion_lev=0 initially
+    # (zero charge weight) and elecs spawn with ion charge sign -e,
+    # nonzero rho indicates ionization happened
+    assert np.abs(rho).max() > 0.0, "no electrons were ionized"
+    # ionization happens where the beam field is strong; the spawned
+    # electron charge density is of order ne near/behind the beam
+    nz, ny, nx = rho.shape
+    x = (np.arange(nx) + 0.5) * sim2.geom.dx + sim2.geom.prob_lo[0]
+    y = (np.arange(ny) + 0.5) * sim2.geom.dy + sim2.geom.prob_lo[1]
+    r = np.hypot(x[None, :], y[:, None])
+    near = r < 10e-6
+    qe = 1.602176634e-19
+    ne = 1.25e24
+    assert np.abs(rho[:, near]).max() > 0.1 * qe * ne, \
+        "no significant ionized charge near the beam"
+    # no ionization ahead of the beam head (zeta > zmax)
+    zeta = (np.arange(nz) + 0.5) * sim2.geom.dz + sim2.geom.prob_lo[2]
+    ahead = zeta > 25e-6
+    assert np.abs(rho[ahead]).max() < 1e-3 * qe * ne
