@@ -29,7 +29,7 @@ from ..particles import beam as bm
 from ..pipeline.step import make_slice_step, init_field_state, empty_slip
 
 
-_STREAM_KEYS = bm.BEAM_ATTRS + ("nsub", "valid")
+_STREAM_KEYS = bm.BEAM_ATTRS + bm.BEAM_INT_ATTRS + ("valid",)
 
 
 def _bin_block_into(buf: dict, counters: jnp.ndarray, block: dict, geom,
@@ -76,6 +76,8 @@ def make_pipelined_evolve(cfg, dtype, n_devices: int, beam_cap: int,
     cap2 = beam_cap + slip_cap
     assert not cfg.use_laser, \
         "laser streaming through the device pipeline not wired up yet"
+    assert not cfg.salame_active, \
+        "SALAME runs at step 0 only; use the single-device path for it"
     slice_step = make_slice_step(cfg, dtype)
 
     def init_plasmas(key, c_t):
@@ -118,6 +120,7 @@ def make_pipelined_evolve(cfg, dtype, n_devices: int, beam_cap: int,
             "dt": dt, "time": time_d,
             "min_uz": jnp.asarray(jnp.inf, dtype),
             "beam_moments": zero_moments(dtype),
+            "step": d,
             "recv": recv_buf, "counters": counters,
         }
 
@@ -160,7 +163,7 @@ def make_pipelined_evolve(cfg, dtype, n_devices: int, beam_cap: int,
                   "beam_next": beam_next}
             sub_carry = {k: carry[k] for k in
                          ("fields", "plasma", "slip", "dt", "time", "min_uz",
-                          "beam_moments")}
+                          "beam_moments", "step")}
             new_sub, ys = slice_step(sub_carry, xs)
 
             # inactive devices keep their state unchanged

@@ -235,6 +235,20 @@ class BeamConfig:
 # spin components always carried (zeros when spin tracking is off) so the
 # binning/streaming pytree structure is static
 BEAM_ATTRS = ("x", "y", "z", "ux", "uy", "uz", "w", "sx", "sy", "sz")
+# integer attributes carried alongside (subcycle resume counter + species id)
+BEAM_INT_ATTRS = ("nsub", "beam_id")
+
+
+def merge_beams(flats: list[dict]) -> dict:
+    """Concatenate several beams into one SoA with a beam_id attribute."""
+    import jax.numpy as _jnp
+    out = {}
+    for k in BEAM_ATTRS + ("valid", "nsub"):
+        out[k] = _jnp.concatenate([f[k] for f in flats])
+    out["beam_id"] = _jnp.concatenate([
+        _jnp.full((f["x"].size,), i, _jnp.int32)
+        for i, f in enumerate(flats)])
+    return out
 
 
 def init_beam(cfg: BeamConfig, geom: Geometry, key, dtype,
@@ -493,7 +507,8 @@ def bin_beam(beam: dict, geom: Geometry, cap: int) -> dict:
     dst = jnp.where(keep, isl_sorted * cap + rank, nz * cap)  # drop bucket
 
     out = {}
-    for k in BEAM_ATTRS + ("nsub",):
+    keys = BEAM_ATTRS + tuple(k for k in BEAM_INT_ATTRS if k in beam)
+    for k in keys:
         src = beam[k][order]
         flat = jnp.zeros((nz * cap + 1,), src.dtype).at[dst].set(src)
         out[k] = flat[:-1].reshape(nz, cap)
@@ -507,17 +522,33 @@ def bin_beam(beam: dict, geom: Geometry, cap: int) -> dict:
 def unbin_beam(binned: dict) -> dict:
     """Flatten per-slice arrays back to flat SoA (drop the slice structure)."""
     out = {}
-    for k in BEAM_ATTRS + ("nsub",):
+    for k in BEAM_ATTRS + tuple(k for k in BEAM_INT_ATTRS if k in binned):
         out[k] = binned[k].reshape(-1)
     out["valid"] = binned["valid"].reshape(-1)
     return out
 
 
 # ----------------------------------------------------------------------
+def advance_all_beams(bp: dict, fields: dict, geom: Geometry, cfgs,
+                      pc: PhysConst, dt, min_z, order: int = 2, time=0.0,
+                      background_density_SI: float = 0.0):
+    """Push all beam species in the merged array, one masked pass per
+    species (static per-species parameters)."""
+    out = bp
+    for b, cfg in enumerate(cfgs):
+        mask = (bp["beam_id"] == b) if len(cfgs) > 1 else None
+        out = advance_beam_slice(
+            out, fields, geom, cfg, pc, dt, min_z, order=order,
+            external_fields=cfg.external_field_fns(), time=time,
+            background_density_SI=background_density_SI, species_mask=mask)
+    return out
+
+
 def advance_beam_slice(bp: dict, fields: dict, geom: Geometry,
                        cfg: BeamConfig, pc: PhysConst, dt, min_z,
                        order: int = 2, external_fields=None,
-                       time=0.0, background_density_SI: float = 0.0):
+                       time=0.0, background_density_SI: float = 0.0,
+                       species_mask=None):
     """Push beam particles of one slice forward in time by dt
     (ref BeamParticleAdvance.cpp:19-336). Subcycled leapfrog-like push with
     optional external fields, TBMT spin precession (:218-241) and Tamburini
@@ -564,6 +595,8 @@ def advance_beam_slice(bp: dict, fields: dict, geom: Geometry,
         # resume semantics: only particles with nsub0 <= i and not stopped
         slipped = z < min_z
         active = valid & (nsub0 <= i) & ~stopped & ~slipped
+        if species_mask is not None:
+            active = active & species_mask
         stopped = stopped | (slipped & valid & (nsub0 <= i))
 
         gam_inv = 1.0 / jnp.sqrt(1.0 + (ux * ux + uy * uy + uz * uz) * inv_c2)
@@ -681,6 +714,8 @@ def advance_beam_slice(bp: dict, fields: dict, geom: Geometry,
 
     # completed particles reset their counter for the next step
     done = nsub_out >= n_sub
+    if species_mask is not None:
+        done = done & species_mask
     nsub_out = jnp.where(done, 0, nsub_out)
 
     out = dict(bp)
@@ -692,15 +727,17 @@ def advance_beam_slice(bp: dict, fields: dict, geom: Geometry,
 
 
 def deposit_beam_slice(bp: dict, comp_map: dict, fields: dict,
-                       geom: Geometry, cfg: BeamConfig, pc: PhysConst,
+                       geom: Geometry, cfg, pc: PhysConst,
                        order: int, normalized_units: bool,
-                       skip_slipped_min_z=None):
+                       skip_slipped_min_z=None, only_salame: bool = False):
     """Deposit beam currents (ref BeamDepositCurrent.cpp:60-200).
 
     comp_map maps quantity -> destination field name, e.g.
-    {"jz": "jz_beam"} with quantities in {jx, jy, jz, rhomjz}. Slipped
-    particles (z < skip_slipped_min_z, already deposited on their original
-    slice) are excluded when given.
+    {"jz": "jz_beam"} with quantities in {jx, jy, jz, rhomjz}. cfg may be a
+    single BeamConfig or a tuple of configs (multi-beam: per-particle charge
+    via the beam_id attribute). only_salame restricts to SALAME-flagged
+    beams. Slipped particles (z < skip_slipped_min_z, already deposited on
+    their original slice) are excluded when given.
     """
     clight_inv = 1.0 / pc.c
     clight_sq = 1.0 / (pc.c * pc.c)
@@ -711,7 +748,17 @@ def deposit_beam_slice(bp: dict, comp_map: dict, fields: dict,
     mask = bp["valid"]
     if skip_slipped_min_z is not None:
         mask = mask & (bp["z"] >= skip_slipped_min_z)
-    wq = jnp.where(mask, cfg.charge * bp["w"] * invvol, 0.0)
+    if isinstance(cfg, (tuple, list)):
+        charges = jnp.asarray([b.charge for b in cfg], ux.dtype)
+        charge_p = charges[jnp.clip(bp["beam_id"], 0, len(cfg) - 1)]
+        if only_salame:
+            sal = jnp.asarray([b.do_salame for b in cfg], bool)
+            mask = mask & sal[jnp.clip(bp["beam_id"], 0, len(cfg) - 1)]
+    else:
+        charge_p = cfg.charge
+        if only_salame and not cfg.do_salame:
+            mask = jnp.zeros_like(mask)
+    wq = jnp.where(mask, charge_p * bp["w"] * invvol, 0.0)
     vx, vy, vz = ux * gam_inv, uy * gam_inv, uz * gam_inv
     values = {
         "jx": wq * vx,

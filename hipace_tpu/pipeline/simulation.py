@@ -144,6 +144,17 @@ class Simulation:
                  for p in self.plasma_cfgs] or [0]),
             insitu_radius=inputs.query("beams.insitu_radius",
                                        float("inf")),
+            salame_n_iter=inputs.query("hipace.salame_n_iter", 3, int),
+            salame_do_advance=inputs.query("hipace.salame_do_advance",
+                                           True, bool),
+            salame_tolerance=inputs.query("hipace.salame_relative_tolerance",
+                                          1e-4),
+            salame_target_expr=(
+                inputs.raw("hipace.salame_Ez_target(zeta,zeta_initial,"
+                           "Ez_initial)") or "Ez_initial"),
+            salame_consts=tuple(sorted(
+                (k, float(v)) for k, v in inputs.my_constants.items()
+                if isinstance(v, (int, float)))),
         )
         self._insitu_writers = {}
 
@@ -157,12 +168,11 @@ class Simulation:
             self.beams_flat.append(
                 bm.init_beam(bcfg, self.geom, sub, dtype,
                              self.normalized_units, self.pc))
+        self.beam_merged = (bm.merge_beams(self.beams_flat)
+                            if self.beams_flat else _empty_beam(dtype))
         self.beam_cap = self._plan_capacity()
-        if self.beams_flat:
-            self.binned = bm.bin_beam(self.beams_flat[0], self.geom,
-                                      self.beam_cap)
-        else:
-            self.binned = bm.bin_beam(_empty_beam(dtype), self.geom, 1)
+        self.binned = bm.bin_beam(self.beam_merged, self.geom,
+                                  self.beam_cap if self.beams_flat else 1)
 
         # initial adaptive dt from the initial beam moments
         # (ref AdaptiveTimeStep.cpp GatherMinUzSlice(initial=true) + Hipace.cpp:275-281)
@@ -194,8 +204,8 @@ class Simulation:
     def _plan_capacity(self) -> int:
         if not self.beams_flat:
             return 1
-        z = np.asarray(self.beams_flat[0]["z"])
-        v = np.asarray(self.beams_flat[0]["valid"])
+        z = np.asarray(self.beam_merged["z"])
+        v = np.asarray(self.beam_merged["valid"])
         isl = np.floor((z - self.geom.prob_lo[2]) / self.geom.dz).astype(int)
         isl = isl[v & (isl >= 0) & (isl < self.geom.nz)]
         if isl.size == 0:
@@ -251,10 +261,14 @@ class Simulation:
             "time": time,
             "min_uz": jnp.asarray(jnp.inf, self.dtype),
             "beam_moments": zero_moments(self.dtype),
+            "step": step,
         }
         if cfg.ionization_pairs:
             key, sub = jax.random.split(key)
             carry["key"] = sub
+        if cfg.salame_active:
+            from .salame import empty_salame_state
+            carry["salame"] = empty_salame_state(g, self.dtype)
         nz = g.nz
         if cfg.use_laser:
             from ..fields.laser import laser_empty_state, initial_chi
@@ -262,7 +276,6 @@ class Simulation:
             carry["chi_initial"] = initial_chi(
                 cfg.laser, self.plasma_cfgs, g, self.pc, self.pc.c * time,
                 self.dtype)
-            carry["step"] = step
         beam_next = {k: jnp.concatenate([jnp.zeros_like(v[:1]), v[:-1]])
                      for k, v in binned.items() if k != "n_dropped"}
         beam_next["valid"] = beam_next["valid"].at[0].set(False)
@@ -284,7 +297,7 @@ class Simulation:
 
         # merge emitted beam + final slip, re-bin by new z
         flat = {}
-        for k in bm.BEAM_ATTRS + ("nsub", "valid"):
+        for k in bm.BEAM_ATTRS + bm.BEAM_INT_ATTRS + ("valid",):
             flat[k] = jnp.concatenate([ys["beam_out"][k].reshape(-1),
                                        carry["slip"][k]])
         new_binned = bm.bin_beam(flat, g, self.beam_cap)
@@ -299,7 +312,8 @@ class Simulation:
         if cfg.use_laser:
             # stream for the next step: n00 <- np1, nm1 <- n00
             out["laser_stream"] = (ys["laser_np1"], ys["laser_n00"])
-        for k in ("insitu_beam", "insitu_field", "insitu_plasma"):
+        for k in ("insitu_beam", "insitu_field", "insitu_plasma",
+                  "salame_W", "salame_dbg", "salame_is_sal"):
             if k in ys:
                 out[k] = ys[k]
         return out
@@ -428,10 +442,13 @@ class Simulation:
         for ic, name in enumerate(self.cfg.diag_comps):
             fields[name] = self._slice_diag(diag[:, ic])
         beams = {}
-        for bcfg in self.beam_cfgs:
-            b = {k: np.asarray(pre_binned[k].reshape(-1)) for k in bm.BEAM_ATTRS}
-            v = np.asarray(pre_binned["valid"].reshape(-1))
-            beams[bcfg.name] = {k: arr[v] for k, arr in b.items()}
+        bid = np.asarray(pre_binned["beam_id"].reshape(-1))
+        v_all = np.asarray(pre_binned["valid"].reshape(-1))
+        for ib, bcfg in enumerate(self.beam_cfgs):
+            v = v_all & (bid == ib)
+            beams[bcfg.name] = {
+                k: np.asarray(pre_binned[k].reshape(-1))[v]
+                for k in bm.BEAM_ATTRS}
         self.writer.write(step, self.time, self.dt, fields, self.geom,
                           beams=beams)
 
@@ -439,5 +456,6 @@ class Simulation:
 def _empty_beam(dtype):
     out = {k: jnp.zeros((1,), dtype) for k in bm.BEAM_ATTRS}
     out["nsub"] = jnp.zeros((1,), jnp.int32)
+    out["beam_id"] = jnp.zeros((1,), jnp.int32)
     out["valid"] = jnp.zeros((1,), bool)
     return out

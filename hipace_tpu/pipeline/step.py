@@ -64,6 +64,16 @@ class SimConfig:
     insitu_field_period: int = 0
     insitu_plasma_period: int = 0
     insitu_radius: float = float("inf")
+    # SALAME (ref Hipace.H:285-301, salame/Salame.cpp)
+    salame_n_iter: int = 3
+    salame_do_advance: bool = True
+    salame_tolerance: float = 1e-4
+    salame_target_expr: str = "Ez_initial"
+    salame_consts: tuple = ()
+
+    @property
+    def salame_active(self) -> bool:
+        return any(b.do_salame for b in self.beams)
 
 
 THIS_COMPS_EXPLICIT = ("chi", "Sy", "Sx", "ExmBy", "EypBx", "Ez", "Bx", "By",
@@ -285,6 +295,7 @@ def make_slice_step(cfg: SimConfig, dtype):
         time = carry["time"]
         islice = xs["islice"]
         min_z = (g.prob_lo[2] + islice.astype(dtype) * g.dz).astype(dtype)
+        extra_ys = {}
 
         # ---- InitializeSlices (ref Fields.cpp:536-586)
         this = dict(f["This"])
@@ -336,10 +347,9 @@ def make_slice_step(cfg: SimConfig, dtype):
             else:
                 cmap = ({"jx": "jx", "jy": "jy", "jz": "jz"}
                         if cfg.do_beam_jx_jy_deposition else {"jz": "jz"})
-            for bcfg in cfg.beams:
-                this = bm.deposit_beam_slice(
-                    xs["beam_this"], cmap, this, g, bcfg, pc,
-                    order, cfg.normalized_units)
+            this = bm.deposit_beam_slice(
+                xs["beam_this"], cmap, this, g, cfg.beams, pc,
+                order, cfg.normalized_units)
 
         # ---- AddRhoIons (ref Fields.cpp:606-615)
         this = dict(this)
@@ -386,11 +396,9 @@ def make_slice_step(cfg: SimConfig, dtype):
         if cfg.explicit:
             # beam Next deposit jx_beam, jy_beam
             if cfg.do_beam_jx_jy_deposition and cfg.beams:
-                nxt = f["Next"]
-                for bcfg in cfg.beams:
-                    nxt = bm.deposit_beam_slice(
-                        xs["beam_next"], {"jx": "jx_beam", "jy": "jy_beam"},
-                        nxt, g, bcfg, pc, order, cfg.normalized_units)
+                nxt = bm.deposit_beam_slice(
+                    xs["beam_next"], {"jx": "jx_beam", "jy": "jy_beam"},
+                    f["Next"], g, cfg.beams, pc, order, cfg.normalized_units)
                 f = dict(f, Next=nxt)
             f = _init_sx_sy_with_beam(f, cfg)
             this = f["This"]
@@ -402,6 +410,41 @@ def make_slice_step(cfg: SimConfig, dtype):
             f = dict(f, This=this)
             pc_err = jnp.zeros((), dtype)
             pc_iters = jnp.zeros((), jnp.int32)
+
+            # ---- SALAME beam loading (ref Hipace.cpp:673-678)
+            if cfg.salame_active:
+                from .salame import salame_slice, empty_salame_state
+                from ..parser import compile_function
+                target_fn = compile_function(
+                    cfg.salame_target_expr,
+                    ("zeta", "zeta_initial", "Ez_initial"),
+                    cfg.salame_consts)
+                _salf = jnp.asarray([b.do_salame for b in cfg.beams], bool)
+                _salm = _salf[jnp.clip(xs["beam_this"]["beam_id"], 0,
+                                       len(cfg.beams) - 1)]
+                is_sal = (carry["step"] == 0) & jnp.any(
+                    xs["beam_this"]["valid"] & _salm)
+
+                def _do(args):
+                    this_, bt_, st_ = args
+                    return salame_slice(cfg, this_, f["Next"], f["Previous"],
+                                        plasmas, bt_, st_, islice, solver,
+                                        mg, dtype, target_fn)
+
+                def _skip(args):
+                    this_, bt_, st_ = args
+                    st_ = dict(st_, prev_was_salame=jnp.zeros((), bool))
+                    return this_, bt_, st_
+
+                extra_ys["salame_is_sal"] = is_sal
+                this, beam_this_upd, new_sal = jax.lax.cond(
+                    is_sal, _do, _skip,
+                    (this, xs["beam_this"], carry["salame"]))
+                xs = dict(xs, beam_this=beam_this_upd)
+                f = dict(f, This=this)
+                carry = dict(carry, salame=new_sal)
+                extra_ys["salame_W"] = new_sal["W_last"]
+                extra_ys["salame_dbg"] = new_sal["dbg"]
         else:
             f, pc_err, pc_iters = _pc_bxby_solve(
                 f, plasmas, xs["beam_next"], cfg, solver)
@@ -412,7 +455,6 @@ def make_slice_step(cfg: SimConfig, dtype):
 
         # ---- in-situ reduced diagnostics (ref Hipace.cpp:681-688)
         from ..diagnostics import insitu as ins
-        extra_ys = {}
         if cfg.insitu_field_period and cfg.explicit:
             extra_ys["insitu_field"] = ins.field_slice_moments(
                 this, g, pc, g.dx * g.dy * g.dz)
@@ -441,17 +483,15 @@ def make_slice_step(cfg: SimConfig, dtype):
 
         # ---- push beam: this slice + slipped carry (ref Hipace.cpp:706-709)
         combined = {k: jnp.concatenate([xs["beam_this"][k], slip[k]])
-                    for k in bm.BEAM_ATTRS + ("nsub", "valid")}
+                    for k in bm.BEAM_ATTRS + bm.BEAM_INT_ATTRS + ("valid",)}
         if cfg.insitu_beam_period and cfg.beams:
             # pre-push moments (ref Hipace.cpp:681: after SALAME, before push)
             extra_ys["insitu_beam"] = ins.beam_slice_moments(
                 combined, pc, cfg.insitu_radius)
         if cfg.beams:
-            bcfg = cfg.beams[0]
-            combined = bm.advance_beam_slice(
-                combined, this, g, bcfg, pc, dt, min_z, order=order,
-                external_fields=bcfg.external_field_fns(), time=time,
-                background_density_SI=cfg.background_density_SI)
+            combined = bm.advance_all_beams(
+                combined, this, g, cfg.beams, pc, dt, min_z, order=order,
+                time=time, background_density_SI=cfg.background_density_SI)
             # particles that stopped mid-subcycles slip to the carry buffer
             incomplete = combined["valid"] & (combined["nsub"] > 0)
             perm = jnp.argsort(jnp.where(incomplete, 0, 1), stable=True)
@@ -524,5 +564,6 @@ def zero_moments(dtype):
 def empty_slip(cap: int, dtype) -> dict:
     out = {k: jnp.zeros((cap,), dtype) for k in bm.BEAM_ATTRS}
     out["nsub"] = jnp.zeros((cap,), jnp.int32)
+    out["beam_id"] = jnp.zeros((cap,), jnp.int32)
     out["valid"] = jnp.zeros((cap,), bool)
     return out

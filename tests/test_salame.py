@@ -1,0 +1,91 @@
+"""SALAME beam loading flattens Ez along the witness beam
+(ref /root/reference/src/salame/Salame.cpp): a drive beam excites a wake,
+the SALAME-flagged witness is reweighted slice-by-slice so the accelerating
+field it samples stays at the value of its head slice."""
+
+import numpy as np
+
+from hipace_tpu.parser import Inputs
+from hipace_tpu.pipeline.simulation import Simulation
+
+DECK = """
+amr.n_cell = 32 32 64
+hipace.normalized_units = 1
+max_step = 0
+hipace.dt = 0.
+hipace.depos_order_xy = 2
+hipace.salame_n_iter = 4
+boundary.field = Dirichlet
+boundary.particle = Periodic
+geometry.prob_lo = -8. -8. -7.
+geometry.prob_hi =  8.  8.  5.
+beams.names = drive witness
+drive.injection_type = fixed_weight
+drive.num_particles = 30000
+drive.profile = gaussian
+drive.position_mean = 0. 0. 2.
+drive.position_std = 0.3 0.3 1.0
+drive.zmin = -1.
+drive.zmax = 4.9
+drive.density = 2.
+drive.u_mean = 0. 0. 2000.
+drive.u_std = 0. 0. 0.
+witness.injection_type = fixed_weight
+witness.num_particles = 10000
+witness.profile = can
+witness.zmin = -2.4
+witness.zmax = -1.4
+witness.radius = 0.8
+witness.position_mean = 0. 0. 0.
+witness.position_std = 0.2 0.2 1.
+witness.density = 0.4
+witness.u_mean = 0. 0. 1000.
+witness.u_std = 0. 0. 0.
+witness.do_salame = 1
+plasmas.names = plasma
+plasma.density(x,y,z) = 1.
+plasma.ppc = 1 1
+plasma.element = electron
+diagnostic.output_period = 0
+diagnostic.field_data = Ez
+"""
+
+
+def _run(overrides):
+    sim = Simulation(Inputs(DECK, overrides=overrides), verbose=0)
+    res = sim.run_step(0)
+    d = np.asarray(res["diag"])
+    ez = d[:, 0]
+    ny, nx = ez.shape[1:]
+    line = 0.25 * (ez[:, ny // 2 - 1, nx // 2 - 1]
+                   + ez[:, ny // 2 - 1, nx // 2]
+                   + ez[:, ny // 2, nx // 2 - 1]
+                   + ez[:, ny // 2, nx // 2])
+    g = sim.geom
+    zeta = (np.arange(g.nz) + 0.5) * g.dz + g.prob_lo[2]
+    return line, zeta, res, sim
+
+
+def test_salame_flattens_ez():
+    line_s, zeta, res_s, sim_s = _run([])
+    line_n, _, _, _ = _run(["witness.do_salame=0"])
+
+    # on-axis Ez across the witness (excluding its head ramp slice):
+    # SALAME must be much flatter than the unloaded case
+    inside = (zeta > -2.35) & (zeta < -1.5)
+    spread_s = np.ptp(line_s[inside])
+    spread_n = np.ptp(line_n[inside])
+    assert spread_s < 0.4 * spread_n, \
+        f"SALAME spread {spread_s} vs no-SALAME {spread_n}"
+
+    # witness weights were reweighted (non-uniform) but not zeroed
+    bid = np.asarray(res_s["binned"]["beam_id"].reshape(-1))
+    v = np.asarray(res_s["binned"]["valid"].reshape(-1))
+    w = np.asarray(res_s["binned"]["w"].reshape(-1))
+    wit = v & (bid == 1)
+    assert wit.sum() > 0
+    assert w[wit].sum() > 0, "witness beam was zeroed"
+    assert np.std(w[wit]) / np.mean(w[wit]) > 0.01, "weights not adapted"
+    # drive beam untouched
+    drv = v & (bid == 0)
+    assert np.allclose(np.std(w[drv]), 0.0)
