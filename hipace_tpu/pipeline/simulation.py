@@ -155,6 +155,8 @@ class Simulation:
             salame_consts=tuple(sorted(
                 (k, float(v)) for k, v in inputs.my_constants.items()
                 if isinstance(v, (int, float)))),
+            collisions=self._collision_cfg(inputs, plasma_names,
+                                           [b.name for b in self.beam_cfgs]),
         )
         self._insitu_writers = {}
 
@@ -189,6 +191,25 @@ class Simulation:
             self.normalized_units)
 
         self._step_fn = jax.jit(partial(self._time_step))
+
+    @staticmethod
+    def _collision_cfg(inputs, plasma_names, beam_names):
+        """ref CoulombCollision.cpp:8-60: hipace.collisions + <name>.species."""
+        names = inputs.query_list("hipace.collisions", [], str)
+        out = []
+        for cname in names:
+            sp = inputs.get_list(f"{cname}.species", str)
+            clog = inputs.query(f"{cname}.CoulombLog", -1.0)
+            if sp[0] in beam_names:
+                out.append(("bp", beam_names.index(sp[0]),
+                            plasma_names.index(sp[1]), False, clog))
+            elif sp[1] in beam_names:
+                out.append(("bp", beam_names.index(sp[1]),
+                            plasma_names.index(sp[0]), False, clog))
+            else:
+                out.append(("pp", plasma_names.index(sp[0]),
+                            plasma_names.index(sp[1]), sp[0] == sp[1], clog))
+        return tuple(out)
 
     @staticmethod
     def _grid_current_cfg(inputs):
@@ -263,7 +284,7 @@ class Simulation:
             "beam_moments": zero_moments(self.dtype),
             "step": step,
         }
-        if cfg.ionization_pairs:
+        if cfg.ionization_pairs or cfg.collisions:
             key, sub = jax.random.split(key)
             carry["key"] = sub
         if cfg.salame_active:

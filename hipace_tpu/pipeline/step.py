@@ -70,6 +70,8 @@ class SimConfig:
     salame_tolerance: float = 1e-4
     salame_target_expr: str = "Ez_initial"
     salame_consts: tuple = ()
+    # Coulomb collisions: ("pp"|"bp", idx1, idx2, is_same_species, CoulombLog)
+    collisions: tuple = ()
 
     @property
     def salame_active(self) -> bool:
@@ -505,6 +507,35 @@ def make_slice_step(cfg: SimConfig, dtype):
         else:
             new_slip = slip
             emit = combined
+
+        # ---- Coulomb collisions (ref Hipace.cpp:712, doCoulombCollision)
+        if cfg.collisions:
+            from ..particles import collisions as coll
+            ckey = carry["key"]
+            new_plasmas = list(plasmas)
+            for (kind, i1, i2, is_same, clog) in cfg.collisions:
+                ckey, sub = jax.random.split(ckey)
+                if kind == "pp":
+                    new_plasmas[i1], new_plasmas[i2] =                         coll.plasma_plasma_collision(
+                            new_plasmas[i1], new_plasmas[i2], g,
+                            cfg.plasmas[i1], cfg.plasmas[i2], pc, clog,
+                            cfg.background_density_SI, cfg.normalized_units,
+                            sub, is_same)
+                else:
+                    bsel = dict(emit, valid=emit["valid"]
+                                & (emit["beam_id"] == i1))
+                    b_new, new_plasmas[i2] = coll.beam_plasma_collision(
+                        bsel, new_plasmas[i2], g, cfg.beams[i1],
+                        cfg.plasmas[i2], pc, clog,
+                        cfg.background_density_SI, cfg.normalized_units,
+                        sub, dt)
+                    sel = emit["valid"] & (emit["beam_id"] == i1)
+                    emit = dict(emit,
+                                ux=jnp.where(sel, b_new["ux"], emit["ux"]),
+                                uy=jnp.where(sel, b_new["uy"], emit["uy"]),
+                                uz=jnp.where(sel, b_new["uz"], emit["uz"]))
+            plasmas = new_plasmas
+            carry = dict(carry, key=ckey)
 
         # ---- beam uz moments for adaptive dt (ref AdaptiveTimeStep
         # GatherMinUzSlice, post-push)
