@@ -50,7 +50,7 @@ diagnostic.field_data = Ez
 
 
 def main():
-    nxy = int(os.environ.get("HIPACE_BENCH_NXY", "511"))
+    nxy = int(os.environ.get("HIPACE_BENCH_NXY", "1023"))
     nz = int(os.environ.get("HIPACE_BENCH_NZ", "32"))
     steps = int(os.environ.get("HIPACE_BENCH_STEPS", "2"))
     npart = min(1_000_000, 100 * nz)
@@ -60,20 +60,22 @@ def main():
 
     inputs = Inputs(DECK.format(nxy=nxy, nz=nz, npart=npart))
     sim = Simulation(inputs, verbose=0)
-    key = jax.random.PRNGKey(0)
+
+    def sync(res):
+        # force device->host readback: block_until_ready does not synchronize
+        # through the axon RPC tunnel
+        return float(jnp.sum(res["diag"][0]))
 
     # warmup (compile)
-    res = sim._step_fn(sim.binned, jnp.asarray(0.0, sim.dtype),
-                       jnp.asarray(sim.dt, sim.dtype), key)
-    jax.block_until_ready(res["binned"]["x"])
+    res = sim.run_step(0)
+    sync(res)
 
     t0 = time.perf_counter()
-    binned = res["binned"]
     for s in range(max(1, steps - 1)):
-        res = sim._step_fn(binned, jnp.asarray((s + 1) * sim.dt, sim.dtype),
-                           jnp.asarray(sim.dt, sim.dtype), key)
-        binned = res["binned"]
-    jax.block_until_ready(res["binned"]["x"])
+        sim.binned = res["binned"]
+        sim.time += float(sim.dt)
+        res = sim.run_step(s + 1)
+    sync(res)
     wall = time.perf_counter() - t0
 
     n_slices = nz * max(1, steps - 1)

@@ -37,18 +37,17 @@ def deposit_multi(fields_stack, xp, yp, values, geom, order):
     m = order + 1
     ii = jnp.clip(ix0[:, None] + jnp.arange(m, dtype=jnp.int32) + G, 0, NX - 1)
     jj = jnp.clip(iy0[:, None] + jnp.arange(m, dtype=jnp.int32) + G, 0, NY - 1)
-    w = (wy[:, :, None] * wx[:, None, :]).reshape(-1)        # (N*m*m,)
+    w = wy[:, :, None] * wx[:, None, :]                       # (N, m, m)
     jf = jnp.broadcast_to(jj[:, :, None], (len(x), m, m)).reshape(-1)
     if_ = jnp.broadcast_to(ii[:, None, :], (len(x), m, m)).reshape(-1)
     lin = jf * NX + if_                                       # (N*m*m,)
 
-    flat = fields_stack.reshape(C, NY * NX)
-    # one fused scatter per component; XLA batches these efficiently
-    out = []
-    for c in range(C):
-        v = (values[c][:, None, None] * (wy[:, :, None] * wx[:, None, :])).reshape(-1)
-        out.append(flat[c].at[lin].add(v))
-    return jnp.stack(out).reshape(C, NY, NX)
+    # ONE scatter with a C-wide payload row per stencil cell
+    vstack = jnp.stack(values, axis=-1)                       # (N, C)
+    payload = (w[..., None] * vstack[:, None, None, :]).reshape(-1, C)
+    flat = fields_stack.reshape(C, NY * NX).T                 # (NY*NX, C)
+    flat = flat.at[lin, :].add(payload)
+    return flat.T.reshape(C, NY, NX)
 
 
 def deposit_single(field, xp, yp, value, geom, order):

@@ -48,7 +48,9 @@ def gather_main_fields(xp, yp, psi, ez, bx, by, bz, geom, order):
     """The main pusher gather: (ExmBy, EypBx, Ez, Bx, By, Bz).
 
     ExmBy/EypBx come from the nodal-derivative gather of Psi
-    (ref FieldGather.H:76-95, derivative_type=1).
+    (ref FieldGather.H:76-95, derivative_type=1). All five source fields are
+    fetched in ONE gather (stacked trailing component axis) so XLA issues a
+    single HBM gather pass instead of five.
     """
     G = geom.nguards
     NY, NX = geom.slice_shape
@@ -67,14 +69,13 @@ def gather_main_fields(xp, yp, psi, ez, bx, by, bz, geom, order):
     w_dx = wy[:, :, None] * dwx[:, None, :]
     w_dy = dwy[:, :, None] * wx[:, None, :]
 
-    psi_v = psi[jj, ii]
+    stacked = jnp.stack([psi, ez, bx, by, bz], axis=-1)  # (NY, NX, 5)
+    vals = stacked[jj, ii, :]                            # (N, m, m, 5)
+    psi_v = vals[..., 0]
     exmby = jnp.sum(w_dx * psi_v, axis=(1, 2)) * dx_inv
     eypbx = jnp.sum(w_dy * psi_v, axis=(1, 2)) * dy_inv
-    ez_v = jnp.sum(w * ez[jj, ii], axis=(1, 2))
-    bx_v = jnp.sum(w * bx[jj, ii], axis=(1, 2))
-    by_v = jnp.sum(w * by[jj, ii], axis=(1, 2))
-    bz_v = jnp.sum(w * bz[jj, ii], axis=(1, 2))
-    return exmby, eypbx, ez_v, bx_v, by_v, bz_v
+    rest = jnp.sum(w[..., None] * vals[..., 1:], axis=(1, 2))  # (N, 4)
+    return exmby, eypbx, rest[:, 0], rest[:, 1], rest[:, 2], rest[:, 3]
 
 
 def gather_laser_aabs(xp, yp, aabs, geom, order):

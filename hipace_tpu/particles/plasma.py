@@ -378,14 +378,37 @@ def ionization_module(ion: dict, elec: dict, fields: dict, geom: Geometry,
     return new_ion, new_elec
 
 
+def _banded_main_gather(xp, yp, valid, fields, geom, order, banded):
+    """gather_main_fields via the banded MXU kernel (requires the caller to
+    keep particles approximately row-sorted; see ops/banded.py). Invalid
+    lanes read zeros."""
+    from ..ops.banded import banded_gather_main
+    W, K = banded
+    G = geom.nguards
+    NY, NX = geom.slice_shape
+    dx_inv, dy_inv = 1.0 / geom.dx, 1.0 / geom.dy
+    x = (xp - geom.x_pos_offset) * dx_inv
+    y = (yp - geom.y_pos_offset) * dy_inv
+    ix0, wx, dwx = shape_weights_derivative(x, order, 1)
+    iy0, wy, dwy = shape_weights_derivative(y, order, 1)
+    iy0 = jnp.where(valid, iy0 + G, NY)
+    stack = jnp.stack([fields["Psi"], fields["Ez"], fields["Bx"],
+                       fields["By"], fields["Bz"]], axis=-1)
+    exmby, eypbx, ez, bx, by, bz = banded_gather_main(
+        stack, iy0, wy, dwy, ix0 + G, wx, dwx, NY, NX,
+        W=min(W, NY), K=K)
+    return exmby * dx_inv, eypbx * dy_inv, ez, bx, by, bz
+
+
 def advance_plasma(p: dict, fields: dict, geom: Geometry, cfg: PlasmaConfig,
                    pc: PhysConst, temp_slice: bool, order: int = 2,
-                   use_laser: bool = False):
+                   use_laser: bool = False, banded=None):
     """Advance plasma particles one zeta slice
     (ref PlasmaParticleAdvance.cpp:29-305, leapfrog path).
 
     fields: dict with padded slice arrays Psi, Ez, Bx, By, Bz (+ aabs).
-    Returns the updated particle dict.
+    banded: None (XLA gather) or (W, K) to use the banded MXU gather on
+    row-sorted particles. Returns the updated particle dict.
     """
     clight = pc.c
     clight_inv = 1.0 / pc.c
@@ -409,9 +432,13 @@ def advance_plasma(p: dict, fields: dict, geom: Geometry, cfg: PlasmaConfig,
         laser_norm_p = laser_norm
 
     for _ in range(cfg.n_subcycles):
-        exmby, eypbx, ez, bx, by, bz = gather_main_fields(
-            xprev, yprev, fields["Psi"], fields["Ez"], fields["Bx"],
-            fields["By"], fields["Bz"], geom, order)
+        if banded is not None:
+            exmby, eypbx, ez, bx, by, bz = _banded_main_gather(
+                xprev, yprev, valid, fields, geom, order, banded)
+        else:
+            exmby, eypbx, ez, bx, by, bz = gather_main_fields(
+                xprev, yprev, fields["Psi"], fields["Ez"], fields["Bx"],
+                fields["By"], fields["Bz"], geom, order)
         bx_c = bx * clight
         by_c = by * clight
         if use_laser:
@@ -458,12 +485,14 @@ def deposit_plasma(p: dict, stack_comps: list[str], fields: dict,
                    geom: Geometry, cfg: PlasmaConfig, pc: PhysConst,
                    order: int, normalized_units: bool,
                    use_laser: bool = False, which: str = "This",
-                   flip_charge: bool = False):
+                   flip_charge: bool = False, banded=None, lost_out=None):
     """Deposit plasma currents/densities (ref PlasmaDepositCurrent.cpp:22-257).
 
     stack_comps: subset of ["jx","jy","jz","rho","chi","rhomjz"] to deposit.
     fields: dict name->(NY,NX); modified copies are returned along with the
     per-particle QSA-violation mask applied to the weights.
+    banded: None (XLA scatter) or (W, K) for the banded MXU deposit on
+    row-sorted particles.
     """
     charge = -cfg.charge if flip_charge else cfg.charge
     clight = pc.c
@@ -510,10 +539,27 @@ def deposit_plasma(p: dict, stack_comps: list[str], fields: dict,
         "rhomjz": q_invvol,
     }
 
-    from ..ops.deposit import deposit_multi
     stack = jnp.stack([fields[c] for c in stack_comps])
-    stack = deposit_multi(stack, x, y, [values[c] for c in stack_comps],
-                          geom, order)
+    if banded is not None:
+        from ..ops.banded import banded_deposit
+        W, K = banded
+        G = geom.nguards
+        NY, NX = geom.slice_shape
+        xm = (x - geom.x_pos_offset) / geom.dx
+        ym = (y - geom.y_pos_offset) / geom.dy
+        ix0, wx = shape_weights(xm, order)
+        iy0, wy = shape_weights(ym, order)
+        # invalid lanes (sorted to the tail) must not drag the window anchor
+        iy0 = jnp.where(p["valid"], iy0 + G, NY)
+        vstack = jnp.stack([values[c] for c in stack_comps], axis=-1)
+        stack, _lost = banded_deposit(stack, iy0, wy, ix0 + G, wx,
+                                      vstack, NY, NX, W=min(W, NY), K=K)
+        if lost_out is not None:
+            lost_out.append(_lost)
+    else:
+        from ..ops.deposit import deposit_multi
+        stack = deposit_multi(stack, x, y, [values[c] for c in stack_comps],
+                              geom, order)
     out_fields = dict(fields)
     for i, c in enumerate(stack_comps):
         out_fields[c] = stack[i]
@@ -527,12 +573,17 @@ def deposit_plasma(p: dict, stack_comps: list[str], fields: dict,
 def explicit_deposition(p: dict, fields: dict, geom: Geometry,
                         cfg: PlasmaConfig, pc: PhysConst, order: int,
                         deriv_type: int, normalized_units: bool,
-                        use_laser: bool = False):
+                        use_laser: bool = False, banded=None, lost_out=None):
     """Deposit Sx, Sy source terms for the explicit Bx/By solve
     (WAND-PIC algorithm; ref ExplicitDeposition.cpp:20-263).
 
     Gathers Ez, Bz, ExmBy, EypBx *per stencil cell* (not interpolated to the
     particle) while scattering, using fused derivative shape factors.
+
+    banded: None (XLA scatter) or (W, K). The banded path factorizes the
+    per-cell field dependence: Sy(cell) = sum_F F(cell) * D_s[coef_F] +
+    D_sdx[..] + D_sdy[..], where D are standard separable deposits of
+    per-particle coefficient channels — each runs on the MXU.
     """
     clight = pc.c
     clight_inv = 1.0 / pc.c
@@ -569,6 +620,67 @@ def explicit_deposition(p: dict, fields: dict, geom: Geometry,
     ix0, wx, dwx = shape_weights_derivative(xm, order, deriv_type)
     iy0, wy, dwy = shape_weights_derivative(ym, order, deriv_type)
     m = order + deriv_type + 1
+
+    if banded is not None:
+        from ..ops.banded import banded_deposit
+        W, K = banded
+        Wc = min(W, NY)
+        qm_psi = q_m * psi_inv
+        cin = clight_inv
+        base = cd_mu0 * qm_psi
+        # coefficient channels multiplied pointwise by the cell field after
+        # deposition (order: Sy x {Bz,Ez,ExmBy,EypBx}, Sx x {...}[, laser x2])
+        chans = [
+            base * vx, -base * vy * cin, base * vx * vy * cin,
+            -base * (gamma_psi - vy * vy) * cin,
+            base * vy, base * vx * cin, base * (gamma_psi - vx * vx) * cin,
+            -base * vx * vy * cin,
+        ]
+        if use_laser:
+            chans += [0.25 * base * qm_psi, -0.25 * base * qm_psi]
+        iy0b = jnp.where(p["valid"], iy0 + G, NY)
+        C1 = len(chans)
+        d1 = jnp.zeros((C1, NY, NX), x.dtype)
+        d1, _lost1 = banded_deposit(d1, iy0b, wy, ix0 + G, wx,
+                                    jnp.stack(chans, axis=-1), NY, NX,
+                                    W=Wc, K=K)
+        if lost_out is not None:
+            lost_out.append(_lost1)
+        # derivative-weighted channels deposit straight into Sy/Sx
+        cdc = cd_mu0 * clight
+        v2 = jnp.stack([cdc * dx_inv * vx * vy,
+                        cdc * dx_inv * (gamma_psi - vx * vx - 1.0)], axis=-1)
+        d2 = jnp.zeros((2, NY, NX), x.dtype)
+        d2, _ = banded_deposit(d2, iy0b, wy, ix0 + G, dwx, v2, NY, NX,
+                               W=Wc, K=K)
+        v3 = jnp.stack([-cdc * dy_inv * (gamma_psi - vy * vy - 1.0),
+                        -cdc * dy_inv * vx * vy], axis=-1)
+        d3 = jnp.zeros((2, NY, NX), x.dtype)
+        d3, _ = banded_deposit(d3, iy0b, dwy, ix0 + G, wx, v3, NY, NX,
+                               W=Wc, K=K)
+        bz_f, ez_f = fields["Bz"], fields["Ez"]
+        exmby_f, eypbx_f = fields["ExmBy"], fields["EypBx"]
+        sy = (fields["Sy"] + bz_f * d1[0] + ez_f * d1[1] + exmby_f * d1[2]
+              + eypbx_f * d1[3] + d2[0] + d3[0])
+        sx = (fields["Sx"] + bz_f * d1[4] + ez_f * d1[5] + exmby_f * d1[6]
+              + eypbx_f * d1[7] + d2[1] + d3[1])
+        if use_laser:
+            aab = fields["aabs"]
+            lf = laser_fac * clight
+            # clamped-edge centered differences (matches the scatter path's
+            # jnp.clip of the shifted stencil indices)
+            a2dx_f = (jnp.concatenate([aab[:, 1:], aab[:, -1:]], axis=1)
+                      - jnp.concatenate([aab[:, :1], aab[:, :-1]], axis=1)
+                      ) * (0.5 * dx_inv * lf)
+            a2dy_f = (jnp.concatenate([aab[1:, :], aab[-1:, :]], axis=0)
+                      - jnp.concatenate([aab[:1, :], aab[:-1, :]], axis=0)
+                      ) * (0.5 * dy_inv * lf)
+            sy = sy + a2dy_f * d1[8]
+            sx = sx + a2dx_f * d1[9]
+        out = dict(fields)
+        out["Sy"] = sy
+        out["Sx"] = sx
+        return out
     ii = jnp.clip(ix0[:, None] + jnp.arange(m, dtype=jnp.int32) + G, 0, NX - 1)
     jj = jnp.clip(iy0[:, None] + jnp.arange(m, dtype=jnp.int32) + G, 0, NY - 1)
     jj2 = jj[:, :, None]

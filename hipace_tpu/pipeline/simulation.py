@@ -157,6 +157,9 @@ class Simulation:
                 if isinstance(v, (int, float)))),
             collisions=self._collision_cfg(inputs, plasma_names,
                                            [b.name for b in self.beam_cfgs]),
+            use_banded=self._banded_auto(inputs),
+            banded_W=inputs.query("hipace.banded_W", 16, int),
+            banded_K=inputs.query("hipace.banded_K", 4096, int),
         )
         self._insitu_writers = {}
 
@@ -211,6 +214,24 @@ class Simulation:
                             plasma_names.index(sp[1]), sp[0] == sp[1], clog))
         return tuple(out)
 
+    def _banded_auto(self, inputs) -> bool:
+        """Banded MXU particle kernels: on by default for large plasmas.
+
+        Disabled with ionization (product spawn slots are keyed to the parent
+        array position, which the per-slice row sort would remap)."""
+        default = (not self.ionization_pairs
+                   and self._total_plasma_n() >= 65536)
+        on = inputs.query("hipace.use_banded", default, bool)
+        if on and self.ionization_pairs:
+            raise ValueError("hipace.use_banded is incompatible with field "
+                             "ionization (spawn slots are position-keyed)")
+        return on
+
+    def _total_plasma_n(self) -> int:
+        g = self.geom
+        return sum(g.nx * g.ny * p.ppc[0] * p.ppc[1]
+                   for p in self.plasma_cfgs)
+
     @staticmethod
     def _grid_current_cfg(inputs):
         """ref utils/GridCurrent.cpp: grid_current.use_grid_current etc."""
@@ -242,9 +263,13 @@ class Simulation:
             st = pl.init_plasma(pcfg, self.geom, sub, self.dtype, c_t,
                                 self.normalized_units)
             extra = self._spawn_extra[i] if hasattr(self, "_spawn_extra") else 0
+            if self.cfg.use_banded:
+                # banded kernels process fixed K-particle chunks
+                n = st["x"].size + extra
+                extra += (-n) % self.cfg.banded_K
             if extra:
-                # pre-allocated (invalid) slots for ionization products;
-                # psi pads with 1 so 1/psi of masked slots stays finite
+                # pre-allocated (invalid) slots for ionization products /
+                # chunk padding; psi pads with 1 so 1/psi stays finite
                 pad = {}
                 for k, v in st.items():
                     fill = 1.0 if k in ("psi", "psi_half") else 0
@@ -337,6 +362,8 @@ class Simulation:
                   "salame_W", "salame_dbg", "salame_is_sal"):
             if k in ys:
                 out[k] = ys[k]
+        if "banded_lost" in ys:
+            out["banded_lost"] = jnp.sum(ys["banded_lost"])
         return out
 
     # ------------------------------------------------------------------
@@ -347,6 +374,13 @@ class Simulation:
                             jnp.asarray(step, jnp.int32), self.laser_stream)
         if self.cfg.use_laser:
             self.laser_stream = res["laser_stream"]
+        if "banded_lost" in res:
+            lost = int(res["banded_lost"])
+            if lost > 0:
+                import sys
+                print(f"WARNING: step {step}: {lost} banded deposit "
+                      "contributions dropped — increase hipace.banded_W "
+                      "or decrease hipace.banded_K", file=sys.stderr)
         return res
 
     def _initial_beam_moments(self):

@@ -72,6 +72,12 @@ class SimConfig:
     salame_consts: tuple = ()
     # Coulomb collisions: ("pp"|"bp", idx1, idx2, is_same_species, CoulombLog)
     collisions: tuple = ()
+    # banded MXU particle kernels (ops/banded.py): particles are row-sorted
+    # once per slice with lax.sort and deposits/gathers run as dense one-hot
+    # matmuls over W-row windows of K-particle chunks
+    use_banded: bool = False
+    banded_W: int = 16
+    banded_K: int = 4096
 
     @property
     def salame_active(self) -> bool:
@@ -229,13 +235,14 @@ def _pc_bxby_solve(f, plasmas, beam_next, cfg: SimConfig, solver):
         nxt_jx = jnp.zeros_like(jz)
         nxt_jy = jnp.zeros_like(jz)
         nxt = {"jx": nxt_jx, "jy": nxt_jy}
+        banded = (cfg.banded_W, cfg.banded_K) if cfg.use_banded else None
         for p, pcfg in zip(plasmas, cfg.plasmas):
             p_tmp = pl.advance_plasma(p, fields_it, g, pcfg, pc,
                                       temp_slice=True, order=order,
-                                      use_laser=cfg.use_laser)
+                                      use_laser=cfg.use_laser, banded=banded)
             nxt, _ = pl.deposit_plasma(p_tmp, ["jx", "jy"], nxt, g, pcfg, pc,
                                        order, cfg.normalized_units,
-                                       use_laser=False)
+                                       use_laser=False, banded=banded)
         if cfg.do_beam_jx_jy_deposition and cfg.beams:
             for bcfg in cfg.beams:
                 nxt = bm.deposit_beam_slice(beam_next, {"jx": "jx", "jy": "jy"},
@@ -278,11 +285,36 @@ def _pc_bxby_solve(f, plasmas, beam_next, cfg: SimConfig, solver):
 
 
 # ----------------------------------------------------------------------
+_SORT_ATTRS = ("x", "y", "w", "ux", "uy", "psi",
+               "ux_half", "uy_half", "psi_half", "valid")
+
+
+def _row_sort(p: dict, geom: Geometry):
+    """Sort a plasma SoA by current transverse row (the TPU equivalent of the
+    reference's ReorderParticles, ref particles/sorting/...). Invalid lanes
+    sink to the tail so they never widen a banded window.
+
+    Skips x_prev/y_prev (equal to x/y at slice start — the non-temp push
+    syncs them) and ion_lev (constant: banded is disabled with ionization)."""
+    NY = geom.slice_shape[0]
+    ym = (p["y"] - geom.y_pos_offset) / geom.dy
+    key = jnp.clip(jnp.floor(ym).astype(jnp.int32) + geom.nguards, 0, NY)
+    key = jnp.where(p["valid"], key, NY + 1)
+    res = jax.lax.sort([key] + [p[n] for n in _SORT_ATTRS], num_keys=1)
+    out = dict(p)
+    for n, r in zip(_SORT_ATTRS, res[1:]):
+        out[n] = r
+    out["x_prev"] = out["x"]
+    out["y_prev"] = out["y"]
+    return out
+
+
 def make_slice_step(cfg: SimConfig, dtype):
     """Build the per-slice function used by lax.scan."""
     g = cfg.geom
     pc = cfg.pc
     order = cfg.depos_order_xy
+    banded = (cfg.banded_W, cfg.banded_K) if cfg.use_banded else None
     solver = DirichletPoissonSolver(g.nx, g.ny, g.dx, g.dy, dtype)
     mg = MultiGrid(g.nx, g.ny, g.dx, g.dy, dtype) if cfg.explicit else None
     if cfg.use_laser:
@@ -325,6 +357,10 @@ def make_slice_step(cfg: SimConfig, dtype):
                           nm1j00=xs["laser_nm1"])
             this["aabs"] = jnp.abs(n00j00) ** 2
 
+        # ---- row-sort plasma for the banded MXU kernels
+        if cfg.use_banded:
+            plasmas = [_row_sort(p, g) for p in plasmas]
+
         # ---- plasma deposits on This
         if cfg.explicit:
             comps = ["jx", "jy", "chi", "rhomjz"]
@@ -335,10 +371,12 @@ def make_slice_step(cfg: SimConfig, dtype):
             comps.append("rho")
         this = f["This"]
         new_plasmas = []
+        lost_acc = []
         for p, pcfg in zip(plasmas, cfg.plasmas):
             this, p = pl.deposit_plasma(
                 p, comps, this, g, pcfg, pc, order,
-                cfg.normalized_units, use_laser=cfg.use_laser)
+                cfg.normalized_units, use_laser=cfg.use_laser, banded=banded,
+                lost_out=lost_acc)
             new_plasmas.append(p)
         plasmas = new_plasmas
 
@@ -407,7 +445,8 @@ def make_slice_step(cfg: SimConfig, dtype):
             for p, pcfg in zip(plasmas, cfg.plasmas):
                 this = pl.explicit_deposition(
                     p, this, g, pcfg, pc, order, cfg.depos_derivative_type,
-                    cfg.normalized_units, use_laser=cfg.use_laser)
+                    cfg.normalized_units, use_laser=cfg.use_laser,
+                    banded=banded, lost_out=lost_acc)
             this = _explicit_bxby_solve(this, cfg, mg)
             f = dict(f, This=this)
             pc_err = jnp.zeros((), dtype)
@@ -480,7 +519,8 @@ def make_slice_step(cfg: SimConfig, dtype):
 
         # ---- push plasma (ref Hipace.cpp:698-701)
         plasmas = [pl.advance_plasma(p, this, g, pcfg, pc, temp_slice=False,
-                                     order=order, use_laser=cfg.use_laser)
+                                     order=order, use_laser=cfg.use_laser,
+                                     banded=banded)
                    for p, pcfg in zip(plasmas, cfg.plasmas)]
 
         # ---- push beam: this slice + slipped carry (ref Hipace.cpp:706-709)
@@ -566,6 +606,11 @@ def make_slice_step(cfg: SimConfig, dtype):
             new_prev = {"Bx": this["Bx"], "By": this["By"],
                         "jx": this["jx"], "jy": this["jy"]}
             f = dict(f, Previous=new_prev, PCPrevIter=new_pp)
+
+        if cfg.use_banded:
+            # window-overflow safety net: nonzero means banded_W is too small
+            # for this density distribution and deposits were dropped
+            extra_ys["banded_lost"] = sum(lost_acc, jnp.zeros((), jnp.int32))
 
         carry = dict(carry, fields=f, plasma=plasmas, slip=new_slip,
                      min_uz=min_uz, beam_moments=mom)
