@@ -127,6 +127,70 @@ def banded_gather(stack, iy0, wy, ix0, wx, NY, NX, W=16, K=512):
 
 
 @partial(jax.jit, static_argnames=("W", "K", "NY", "NX"))
+def banded_deposit_multi(fields, iy0, ysets, ix0, wx, NY, NX, W=16, K=512):
+    """Deposit several (y-weights, values) sets sharing ONE x one-hot.
+
+    The (K, NX) one-hot matrix is the HBM-bandwidth cost of a banded
+    deposit; any deposits with the same (ix0, wx) should share it. ysets is
+    a tuple of (wy_i, values_i (N, C_i)); fields is (sum C_i, NY, NX) with
+    the channel blocks in yset order. Returns (fields, lost).
+    """
+    C = fields.shape[0]
+    N = iy0.shape[0]
+    nchunk = N // K
+    my = ysets[0][0].shape[1]
+
+    iy0c = iy0.reshape(nchunk, K)
+    ix0c = ix0.reshape(nchunk, K)
+    wxc = wx.reshape(nchunk, K, wx.shape[1])
+    ysc = tuple((wy.reshape(nchunk, K, my), v.reshape(nchunk, K, -1))
+                for wy, v in ysets)
+
+    def body(carry, chunk):
+        acc, lost = carry
+        ciy0, cix0, cwx = chunk[:3]
+        cys = chunk[3:]
+        anchor = jnp.clip(jnp.min(ciy0), 0, NY - W)
+        rel = ciy0 - anchor
+        ok = (rel >= 0) & (rel + my <= W)
+        relc = jnp.where(ok, rel, 0)
+        okf = ok[:, None].astype(cwx.dtype)
+        blocks = []
+        any_val = jnp.zeros((K,), bool)
+        for i in range(0, len(cys), 2):
+            cwy, cv = cys[i], cys[i + 1]
+            Wy = _onehot_w(relc, cwy, W) * okf
+            blocks.append((Wy[:, :, None] * cv[:, None, :]).reshape(
+                K, W * cv.shape[1]))
+            any_val = any_val | (jnp.abs(cv).sum(axis=1) > 0)
+        lost = lost + jnp.sum(~ok & any_val).astype(lost.dtype)
+        WyV = jnp.concatenate(blocks, axis=1)              # (K, W*C)
+        Wx = _onehot_w(cix0, cwx, NX)                      # (K, NX)
+        contrib = jax.lax.dot_general(
+            WyV, Wx, (((0,), (0,)), ((), ())),
+            preferred_element_type=acc.dtype)              # (W*C, NX)
+        # each block's rows are (W, C_i)-ordered; bring to (C_total, W, NX)
+        parts = []
+        off = 0
+        for i in range(1, len(cys), 2):
+            ci = cys[i].shape[-1]
+            parts.append(jnp.transpose(
+                contrib[off:off + W * ci].reshape(W, ci, NX), (1, 0, 2)))
+            off += W * ci
+        contrib = jnp.concatenate(parts, axis=0)
+        zero = jnp.zeros((), anchor.dtype)
+        win = jax.lax.dynamic_slice(acc, (zero, anchor, zero), (C, W, NX))
+        acc = jax.lax.dynamic_update_slice(acc, win + contrib,
+                                           (zero, anchor, zero))
+        return (acc, lost), None
+
+    xs = (iy0c, ix0c, wxc) + tuple(a for pair in ysc for a in pair)
+    (acc, lost), _ = jax.lax.scan(
+        body, (fields, jnp.zeros((), jnp.int32)), xs)
+    return acc, lost
+
+
+@partial(jax.jit, static_argnames=("W", "K", "NY", "NX"))
 def banded_gather_main(stack, iy0, wy, dwy, ix0, wx, dwx, NY, NX,
                        W=16, K=512):
     """Fused main-fields gather on the MXU (banded variant of
@@ -134,8 +198,9 @@ def banded_gather_main(stack, iy0, wy, dwy, ix0, wx, dwx, NY, NX,
 
     stack: (NY, NX, 5) with channel 0 = Psi, 1..4 = Ez, Bx, By, Bz.
     wy/wx are the m-tap shapes, dwy/dwx the nodal derivative shapes (same
-    leftmost index). Returns (exmby_raw, eypbx_raw, ez, bx, by, bz) where the
-    caller multiplies the raw Psi derivatives by 1/dx, 1/dy.
+    leftmost index). Returns (exmby_raw, eypbx_raw, ez, bx, by, bz, lost)
+    where the caller multiplies the raw Psi derivatives by 1/dx, 1/dy and
+    lost counts in-range particles whose window overflowed (read zeros).
     """
     N = iy0.shape[0]
     nchunk = N // K
@@ -148,12 +213,15 @@ def banded_gather_main(stack, iy0, wy, dwy, ix0, wx, dwx, NY, NX,
     wxc = wx.reshape(nchunk, K, wx.shape[1])
     dwxc = dwx.reshape(nchunk, K, dwx.shape[1])
 
-    def body(_, chunk):
+    def body(lost, chunk):
         ciy0, cix0, cwy, cdwy, cwx, cdwx = chunk
         anchor = jnp.clip(jnp.min(ciy0), 0, NY - W)
         rel = ciy0 - anchor
-        ok = ((rel >= 0) & (rel + my <= W)).astype(cwy.dtype)[:, None]
-        relc = jnp.where(ok[:, 0] > 0, rel, 0)
+        okb = (rel >= 0) & (rel + my <= W)
+        # iy0 >= NY marks invalid lanes (sentinel), not window overflow
+        lost = lost + jnp.sum(~okb & (ciy0 < NY)).astype(lost.dtype)
+        ok = okb.astype(cwy.dtype)[:, None]
+        relc = jnp.where(okb, rel, 0)
         Wy = _onehot_w(relc, cwy, W) * ok
         dWy = _onehot_w(relc, cdwy, W) * ok
         zero = jnp.zeros((), anchor.dtype)
@@ -173,13 +241,13 @@ def banded_gather_main(stack, iy0, wy, dwy, ix0, wx, dwx, NY, NX,
         exmby = jnp.sum(Wy * tmp_dx, axis=1)
         eypbx = jnp.sum(dWy * tmp[:, :, 0], axis=1)
         rest = jnp.sum(Wy[:, :, None] * tmp[:, :, 1:], axis=1)  # (K, 4)
-        return None, (exmby, eypbx, rest)
+        return lost, (exmby, eypbx, rest)
 
-    _, (exmby, eypbx, rest) = jax.lax.scan(
-        body, None, (iy0c, ix0c, wyc, dwyc, wxc, dwxc))
+    lost, (exmby, eypbx, rest) = jax.lax.scan(
+        body, jnp.zeros((), jnp.int32), (iy0c, ix0c, wyc, dwyc, wxc, dwxc))
     rest = rest.reshape(N, 4)
     return (exmby.reshape(N), eypbx.reshape(N),
-            rest[:, 0], rest[:, 1], rest[:, 2], rest[:, 3])
+            rest[:, 0], rest[:, 1], rest[:, 2], rest[:, 3], lost)
 
 
 def pad_to_chunk(arrs: dict, N: int, K: int, pad_vals: dict):

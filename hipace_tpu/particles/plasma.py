@@ -378,7 +378,8 @@ def ionization_module(ion: dict, elec: dict, fields: dict, geom: Geometry,
     return new_ion, new_elec
 
 
-def _banded_main_gather(xp, yp, valid, fields, geom, order, banded):
+def _banded_main_gather(xp, yp, valid, fields, geom, order, banded,
+                        lost_out=None):
     """gather_main_fields via the banded MXU kernel (requires the caller to
     keep particles approximately row-sorted; see ops/banded.py). Invalid
     lanes read zeros."""
@@ -394,15 +395,17 @@ def _banded_main_gather(xp, yp, valid, fields, geom, order, banded):
     iy0 = jnp.where(valid, iy0 + G, NY)
     stack = jnp.stack([fields["Psi"], fields["Ez"], fields["Bx"],
                        fields["By"], fields["Bz"]], axis=-1)
-    exmby, eypbx, ez, bx, by, bz = banded_gather_main(
+    exmby, eypbx, ez, bx, by, bz, lost = banded_gather_main(
         stack, iy0, wy, dwy, ix0 + G, wx, dwx, NY, NX,
         W=min(W, NY), K=K)
+    if lost_out is not None:
+        lost_out.append(lost)
     return exmby * dx_inv, eypbx * dy_inv, ez, bx, by, bz
 
 
 def advance_plasma(p: dict, fields: dict, geom: Geometry, cfg: PlasmaConfig,
                    pc: PhysConst, temp_slice: bool, order: int = 2,
-                   use_laser: bool = False, banded=None):
+                   use_laser: bool = False, banded=None, lost_out=None):
     """Advance plasma particles one zeta slice
     (ref PlasmaParticleAdvance.cpp:29-305, leapfrog path).
 
@@ -434,7 +437,8 @@ def advance_plasma(p: dict, fields: dict, geom: Geometry, cfg: PlasmaConfig,
     for _ in range(cfg.n_subcycles):
         if banded is not None:
             exmby, eypbx, ez, bx, by, bz = _banded_main_gather(
-                xprev, yprev, valid, fields, geom, order, banded)
+                xprev, yprev, valid, fields, geom, order, banded,
+                lost_out=lost_out)
         else:
             exmby, eypbx, ez, bx, by, bz = gather_main_fields(
                 xprev, yprev, fields["Psi"], fields["Ez"], fields["Bx"],
@@ -570,6 +574,179 @@ def deposit_plasma(p: dict, stack_comps: list[str], fields: dict,
     return out_fields, new_p
 
 
+def fused_plasma_deposits(p: dict, stack_comps: list[str], fields: dict,
+                          geom: Geometry, cfg: PlasmaConfig, pc: PhysConst,
+                          order: int, deriv_type: int, normalized_units: bool,
+                          use_laser: bool, banded, lost_out=None):
+    """Main currents + explicit Sx/Sy coefficient channels in ONE banded
+    deposit (banded fast path for deposit_plasma + explicit_deposition).
+
+    The (K, NX) one-hot matrix dominates a banded deposit's cost (HBM
+    traffic); the type-`deriv_type` derivative shape weights generate the
+    SAME one-hot as the plain order-p weights (their extra taps are zero),
+    so the main deposit, the Sy/Sx s-channels (d1) and the dwy-channels (d3)
+    all share one matrix. Only the dwx-channels (d2) need a second one.
+
+    Returns (out_fields, new_p, dgrids) where dgrids = (d1, d2, d3) raw
+    channel grids for combine_explicit_sxsy, called after the Psi/Ez solve.
+    """
+    from ..ops.banded import banded_deposit, banded_deposit_multi
+    W, K = banded
+    charge = cfg.charge
+    clight = pc.c
+    cin = 1.0 / pc.c
+    invvol = 1.0 if normalized_units else 1.0 / (geom.dx * geom.dy * geom.dz)
+
+    x, y = p["x"], p["y"]
+    psi_inv = 1.0 / p["psi"]
+    vx_c = p["ux"] * psi_inv            # velocity * c
+    vy_c = p["uy"] * psi_inv
+    vx = vx_c * cin                      # dimensionless
+    vy = vy_c * cin
+
+    q_invvol = charge * invvol * p["w"]
+    q_mu0_m = charge * pc.mu0 / cfg.mass
+    q_m = charge / cfg.mass
+    laser_norm = ((charge / pc.q_e) * (pc.m_e / cfg.mass)) ** 2
+    if cfg.can_ionize:
+        ion = p["ion_lev"].astype(x.dtype)
+        q_invvol = q_invvol * ion
+        q_mu0_m = q_mu0_m * ion
+        q_m = q_m * ion
+        laser_norm = laser_norm * ion * ion
+
+    if use_laser:
+        a2, _, _ = gather_laser_aabs(x, y, fields["aabs"], geom, order)
+        a2 = a2 * laser_norm
+    else:
+        a2 = jnp.zeros_like(x)
+
+    gamma_psi = 0.5 * ((1.0 + 0.5 * a2) * psi_inv * psi_inv
+                       + vx * vx + vy * vy + 1.0)
+    bad = ((gamma_psi < 0.0) | (gamma_psi > cfg.max_qsa_weighting_factor)
+           | (psi_inv < 0.0))
+    wmask = jnp.where(p["valid"] & ~bad, 1.0, 0.0).astype(x.dtype)
+    q_invvol = q_invvol * wmask
+
+    values = {
+        "jx": q_invvol * vx_c,
+        "jy": q_invvol * vy_c,
+        "jz": q_invvol * (gamma_psi - 1.0) * clight,
+        "rho": q_invvol * gamma_psi,
+        "chi": q_invvol * q_mu0_m * psi_inv,
+        "rhomjz": q_invvol,
+    }
+
+    # explicit Sx/Sy coefficient channels (see explicit_deposition)
+    cd_mu0 = charge * invvol * pc.mu0 * p["w"] * wmask
+    if cfg.can_ionize:
+        cd_mu0 = cd_mu0 * ion
+    qm_psi = q_m * psi_inv
+    base = cd_mu0 * qm_psi
+    chans = [base * vx, base * vy, base * vx * vy * cin,
+             base * (gamma_psi - vy * vy) * cin,
+             base * (gamma_psi - vx * vx) * cin]
+    if use_laser:
+        chans.append(0.25 * base * qm_psi)
+    C1 = len(chans)
+    cdc = cd_mu0 * clight
+    dx_inv, dy_inv = 1.0 / geom.dx, 1.0 / geom.dy
+    v2 = jnp.stack([cdc * dx_inv * vx * vy,
+                    cdc * dx_inv * (gamma_psi - vx * vx - 1.0)], axis=-1)
+    v3 = jnp.stack([-cdc * dy_inv * (gamma_psi - vy * vy - 1.0),
+                    -cdc * dy_inv * vx * vy], axis=-1)
+
+    G = geom.nguards
+    NY, NX = geom.slice_shape
+    Wc = min(W, NY)
+    xm = (x - geom.x_pos_offset) * dx_inv
+    ym = (y - geom.y_pos_offset) * dy_inv
+    ix0, wx, dwx = shape_weights_derivative(xm, order, deriv_type)
+    iy0, wy, dwy = shape_weights_derivative(ym, order, deriv_type)
+    iy0 = jnp.where(p["valid"], iy0 + G, NY)
+    ix0 = ix0 + G
+
+    Cm = len(stack_comps)
+    if deriv_type == 2:
+        # centered derivative factors are column-shift stencils of the plain
+        # one-hot: dWx[:, i] = (Wx[:, i+1] - Wx[:, i-1]) / 2, so the dwx/dwy
+        # channels deposit with PLAIN weights and the derivative becomes a
+        # grid difference in combine_explicit_sxsy — one matrix for all.
+        vall = jnp.stack([values[c] for c in stack_comps] + chans
+                         + [v2[:, 0], v2[:, 1], v3[:, 0], v3[:, 1]], axis=-1)
+        acc = jnp.concatenate([
+            jnp.stack([fields[c] for c in stack_comps]),
+            jnp.zeros((C1 + 4, NY, NX), x.dtype)])
+        acc, lost = banded_deposit(acc, iy0, wy, ix0, wx, vall, NY, NX,
+                                   W=Wc, K=K)
+        if lost_out is not None:
+            lost_out.append(lost)
+        dgrids = (acc[Cm:Cm + C1], acc[Cm + C1:Cm + C1 + 2],
+                  acc[Cm + C1 + 2:], True)
+    else:
+        vmain = jnp.stack([values[c] for c in stack_comps] + chans, axis=-1)
+        acc = jnp.concatenate([
+            jnp.stack([fields[c] for c in stack_comps]),
+            jnp.zeros((C1 + 2, NY, NX), x.dtype)])
+        acc, lost1 = banded_deposit_multi(
+            acc, iy0, ((wy, vmain), (dwy, v3)), ix0, wx, NY, NX, W=Wc, K=K)
+        d2 = jnp.zeros((2, NY, NX), x.dtype)
+        d2, lost2 = banded_deposit(d2, iy0, wy, ix0, dwx, v2, NY, NX,
+                                   W=Wc, K=K)
+        if lost_out is not None:
+            lost_out.append(lost1 + lost2)
+        dgrids = (acc[Cm:Cm + C1], d2, acc[Cm + C1:], False)
+
+    out_fields = dict(fields)
+    for i, c in enumerate(stack_comps):
+        out_fields[c] = acc[i]
+
+    new_p = dict(p)
+    new_p["w"] = p["w"] * wmask
+    new_p["valid"] = p["valid"] & ~bad
+    return out_fields, new_p, dgrids
+
+
+def combine_explicit_sxsy(fields: dict, dgrids, geom: Geometry,
+                          pc: PhysConst, use_laser: bool):
+    """Pointwise combine of the fused coefficient grids into Sy/Sx, after
+    ExmBy/EypBx/Ez/Bz are solved (the per-cell field factors of
+    ExplicitDeposition.cpp:187-258)."""
+    d1, d2, d3, need_diff = dgrids
+    if need_diff:
+        # deriv_type-2 channels were deposited with plain weights; apply the
+        # centered difference on the grid: D[i] = (E[i+1] - E[i-1]) / 2
+        z = jnp.zeros_like(d2[:, :, :1])
+        d2 = 0.5 * (jnp.concatenate([d2[:, :, 1:], z], axis=2)
+                    - jnp.concatenate([z, d2[:, :, :-1]], axis=2))
+        zr = jnp.zeros_like(d3[:, :1, :])
+        d3 = 0.5 * (jnp.concatenate([d3[:, 1:, :], zr], axis=1)
+                    - jnp.concatenate([zr, d3[:, :-1, :]], axis=1))
+    cin = 1.0 / pc.c
+    bz_f, ez_f = fields["Bz"], fields["Ez"]
+    exmby_f, eypbx_f = fields["ExmBy"], fields["EypBx"]
+    sy = (fields["Sy"] + bz_f * d1[0] - cin * ez_f * d1[1]
+          + exmby_f * d1[2] - eypbx_f * d1[3] + d2[0] + d3[0])
+    sx = (fields["Sx"] + bz_f * d1[1] + cin * ez_f * d1[0]
+          + exmby_f * d1[4] - eypbx_f * d1[2] + d2[1] + d3[1])
+    if use_laser:
+        aab = fields["aabs"]
+        lf = (pc.m_e / pc.q_e) ** 2 * pc.c
+        dx_inv, dy_inv = 1.0 / geom.dx, 1.0 / geom.dy
+        a2dx_f = (jnp.concatenate([aab[:, 1:], aab[:, -1:]], axis=1)
+                  - jnp.concatenate([aab[:, :1], aab[:, :-1]], axis=1)
+                  ) * (0.5 * dx_inv * lf)
+        a2dy_f = (jnp.concatenate([aab[1:, :], aab[-1:, :]], axis=0)
+                  - jnp.concatenate([aab[:1, :], aab[:-1, :]], axis=0)
+                  ) * (0.5 * dy_inv * lf)
+        sy = sy + a2dy_f * d1[5]
+        sx = sx - a2dx_f * d1[5]
+    out = dict(fields)
+    out["Sy"] = sy
+    out["Sx"] = sx
+    return out
+
+
 def explicit_deposition(p: dict, fields: dict, geom: Geometry,
                         cfg: PlasmaConfig, pc: PhysConst, order: int,
                         deriv_type: int, normalized_units: bool,
@@ -628,16 +805,18 @@ def explicit_deposition(p: dict, fields: dict, geom: Geometry,
         qm_psi = q_m * psi_inv
         cin = clight_inv
         base = cd_mu0 * qm_psi
-        # coefficient channels multiplied pointwise by the cell field after
-        # deposition (order: Sy x {Bz,Ez,ExmBy,EypBx}, Sx x {...}[, laser x2])
+        # unique coefficient channels (the 8 Sy/Sx x {Bz,Ez,ExmBy,EypBx}
+        # coefficients share 5 distinct particle factors up to constant
+        # signs/cin, pulled out of the linear deposit)
         chans = [
-            base * vx, -base * vy * cin, base * vx * vy * cin,
-            -base * (gamma_psi - vy * vy) * cin,
-            base * vy, base * vx * cin, base * (gamma_psi - vx * vx) * cin,
-            -base * vx * vy * cin,
+            base * vx,                          # u1
+            base * vy,                          # u2
+            base * vx * vy * cin,               # u3
+            base * (gamma_psi - vy * vy) * cin,  # u4
+            base * (gamma_psi - vx * vx) * cin,  # u5
         ]
         if use_laser:
-            chans += [0.25 * base * qm_psi, -0.25 * base * qm_psi]
+            chans.append(0.25 * base * qm_psi)   # u6
         iy0b = jnp.where(p["valid"], iy0 + G, NY)
         C1 = len(chans)
         d1 = jnp.zeros((C1, NY, NX), x.dtype)
@@ -660,10 +839,11 @@ def explicit_deposition(p: dict, fields: dict, geom: Geometry,
                                W=Wc, K=K)
         bz_f, ez_f = fields["Bz"], fields["Ez"]
         exmby_f, eypbx_f = fields["ExmBy"], fields["EypBx"]
-        sy = (fields["Sy"] + bz_f * d1[0] + ez_f * d1[1] + exmby_f * d1[2]
-              + eypbx_f * d1[3] + d2[0] + d3[0])
-        sx = (fields["Sx"] + bz_f * d1[4] + ez_f * d1[5] + exmby_f * d1[6]
-              + eypbx_f * d1[7] + d2[1] + d3[1])
+        cinc = jnp.asarray(cin, x.dtype)
+        sy = (fields["Sy"] + bz_f * d1[0] - cinc * ez_f * d1[1]
+              + exmby_f * d1[2] - eypbx_f * d1[3] + d2[0] + d3[0])
+        sx = (fields["Sx"] + bz_f * d1[1] + cinc * ez_f * d1[0]
+              + exmby_f * d1[4] - eypbx_f * d1[2] + d2[1] + d3[1])
         if use_laser:
             aab = fields["aabs"]
             lf = laser_fac * clight
@@ -675,8 +855,8 @@ def explicit_deposition(p: dict, fields: dict, geom: Geometry,
             a2dy_f = (jnp.concatenate([aab[1:, :], aab[-1:, :]], axis=0)
                       - jnp.concatenate([aab[:1, :], aab[:-1, :]], axis=0)
                       ) * (0.5 * dy_inv * lf)
-            sy = sy + a2dy_f * d1[8]
-            sx = sx + a2dx_f * d1[9]
+            sy = sy + a2dy_f * d1[5]
+            sx = sx - a2dx_f * d1[5]
         out = dict(fields)
         out["Sy"] = sy
         out["Sx"] = sx

@@ -160,6 +160,8 @@ class Simulation:
             use_banded=self._banded_auto(inputs),
             banded_W=inputs.query("hipace.banded_W", 16, int),
             banded_K=inputs.query("hipace.banded_K", 4096, int),
+            banded_sort_period=inputs.query("hipace.banded_sort_period",
+                                            1, int),
         )
         self._insitu_writers = {}
 

@@ -78,6 +78,9 @@ class SimConfig:
     use_banded: bool = False
     banded_W: int = 16
     banded_K: int = 4096
+    # re-sort every N slices (drift between sorts consumes banded_W slack;
+    # the lost counters catch a too-small W / too-large period)
+    banded_sort_period: int = 1
 
     @property
     def salame_active(self) -> bool:
@@ -359,7 +362,14 @@ def make_slice_step(cfg: SimConfig, dtype):
 
         # ---- row-sort plasma for the banded MXU kernels
         if cfg.use_banded:
-            plasmas = [_row_sort(p, g) for p in plasmas]
+            if cfg.banded_sort_period > 1:
+                do_sort = (islice % cfg.banded_sort_period) == 0
+                plasmas = [jax.lax.cond(do_sort,
+                                        lambda ps: _row_sort(ps, g),
+                                        lambda ps: ps, p)
+                           for p in plasmas]
+            else:
+                plasmas = [_row_sort(p, g) for p in plasmas]
 
         # ---- plasma deposits on This
         if cfg.explicit:
@@ -372,11 +382,21 @@ def make_slice_step(cfg: SimConfig, dtype):
         this = f["This"]
         new_plasmas = []
         lost_acc = []
+        dgrids_list = []
         for p, pcfg in zip(plasmas, cfg.plasmas):
-            this, p = pl.deposit_plasma(
-                p, comps, this, g, pcfg, pc, order,
-                cfg.normalized_units, use_laser=cfg.use_laser, banded=banded,
-                lost_out=lost_acc)
+            if cfg.explicit and cfg.use_banded:
+                # fused: main currents + explicit Sx/Sy channels share one
+                # one-hot build; Sy/Sx are combined after the field solve
+                this, p, dg = pl.fused_plasma_deposits(
+                    p, comps, this, g, pcfg, pc, order,
+                    cfg.depos_derivative_type, cfg.normalized_units,
+                    cfg.use_laser, banded, lost_out=lost_acc)
+                dgrids_list.append(dg)
+            else:
+                this, p = pl.deposit_plasma(
+                    p, comps, this, g, pcfg, pc, order,
+                    cfg.normalized_units, use_laser=cfg.use_laser,
+                    banded=banded, lost_out=lost_acc)
             new_plasmas.append(p)
         plasmas = new_plasmas
 
@@ -442,11 +462,16 @@ def make_slice_step(cfg: SimConfig, dtype):
                 f = dict(f, Next=nxt)
             f = _init_sx_sy_with_beam(f, cfg)
             this = f["This"]
-            for p, pcfg in zip(plasmas, cfg.plasmas):
-                this = pl.explicit_deposition(
-                    p, this, g, pcfg, pc, order, cfg.depos_derivative_type,
-                    cfg.normalized_units, use_laser=cfg.use_laser,
-                    banded=banded, lost_out=lost_acc)
+            if cfg.use_banded:
+                for dg in dgrids_list:
+                    this = pl.combine_explicit_sxsy(this, dg, g, pc,
+                                                    cfg.use_laser)
+            else:
+                for p, pcfg in zip(plasmas, cfg.plasmas):
+                    this = pl.explicit_deposition(
+                        p, this, g, pcfg, pc, order,
+                        cfg.depos_derivative_type, cfg.normalized_units,
+                        use_laser=cfg.use_laser)
             this = _explicit_bxby_solve(this, cfg, mg)
             f = dict(f, This=this)
             pc_err = jnp.zeros((), dtype)
@@ -520,7 +545,7 @@ def make_slice_step(cfg: SimConfig, dtype):
         # ---- push plasma (ref Hipace.cpp:698-701)
         plasmas = [pl.advance_plasma(p, this, g, pcfg, pc, temp_slice=False,
                                      order=order, use_laser=cfg.use_laser,
-                                     banded=banded)
+                                     banded=banded, lost_out=lost_acc)
                    for p, pcfg in zip(plasmas, cfg.plasmas)]
 
         # ---- push beam: this slice + slipped carry (ref Hipace.cpp:706-709)
