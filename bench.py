@@ -64,7 +64,7 @@ def main():
     def sync(res):
         # force device->host readback: block_until_ready does not synchronize
         # through the axon RPC tunnel
-        return float(jnp.sum(res["diag"][0]))
+        return float(jnp.sum(res["binned"]["x"]))
 
     # warmup (compile)
     res = sim.run_step(0)

@@ -87,6 +87,45 @@ def field_slice_moments(this: dict, geom, pc, dxdydz):
     return jnp.stack([jnp.sum(v) for v in vals]) * dxdydz
 
 
+LASER_NAMES = ("max(|a|^2)", "[|a|^2]", "[|a|^2*x]", "[|a|^2*x*x]",
+               "[|a|^2*y]", "[|a|^2*y*y]")
+
+
+def laser_slice_moments(env, geom):
+    """(8,) laser per-slice moments (ref MultiLaser.H:241-256): max|a|^2,
+    integrated |a|^2 moments and the on-axis complex envelope (re, im)."""
+    from ..fields.slices import interior
+    G = geom.nguards
+    a = interior(env, geom)
+    aabs = jnp.abs(a) ** 2
+    xs = geom.prob_lo[0] + (jnp.arange(geom.nx) + 0.5) * geom.dx
+    ys = geom.prob_lo[1] + (jnp.arange(geom.ny) + 0.5) * geom.dy
+    X = xs[None, :]
+    Y = ys[:, None]
+    ax = a[geom.ny // 2, geom.nx // 2]
+    return jnp.stack([
+        jnp.max(aabs), jnp.sum(aabs), jnp.sum(aabs * X),
+        jnp.sum(aabs * X * X), jnp.sum(aabs * Y), jnp.sum(aabs * Y * Y),
+        jnp.real(ax), jnp.imag(ax)])
+
+
+def laser_record(step, time, moments, geom, normalized_units):
+    m = np.asarray(moments, np.float64)
+    nsl = m.shape[0]
+    rec = {
+        "time": float(time), "step": int(step), "n_slices": int(nsl),
+        "z_lo": float(geom.prob_lo[2]), "z_hi": float(geom.prob_hi[2]),
+        "is_normalized_units": int(normalized_units),
+    }
+    dxdy = geom.dx * geom.dy
+    rec["max(|a|^2)"] = m[:, 0]
+    for i, name in enumerate(LASER_NAMES[1:], start=1):
+        rec[name] = m[:, i] * dxdy
+    rec["axis(a).re"] = m[:, 6]
+    rec["axis(a).im"] = m[:, 7]
+    return rec
+
+
 # ----------------------------------------------------------------------
 def _dtype_json(record):
     """Build the JSON dtype description for one record (nested dicts become

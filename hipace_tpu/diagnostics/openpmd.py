@@ -36,16 +36,20 @@ class OpenPMDWriter:
         return os.path.join(self.prefix, f"openpmd_{it:06d}.h5")
 
     def write(self, it: int, time: float, dt: float, fields: dict | None,
-              geom, beams: dict | None = None, field_geom=None):
+              geom, beams: dict | None = None, field_geom=None,
+              field_meta: dict | None = None):
         """Write one iteration.
 
         fields: dict name -> np.ndarray (nz, ny, nx) (or (ny, nx) slices of
         reduced diagnostics). beams: dict beam-name -> dict of 1D arrays
         {x,y,z,w,ux,uy,uz} (already masked to valid particles).
+        field_meta: optional dict name -> (spacing tuple, offset tuple)
+        matching the dataset's trailing axes.
         """
         if h5py is None:
             raise RuntimeError("h5py not available")
         fg = field_geom or geom
+        field_meta = field_meta or {}
         with h5py.File(self._path(it), "w") as f:
             f.attrs["openPMD"] = np.bytes_("1.1.0")
             f.attrs["openPMDextension"] = np.uint32(0)
@@ -66,8 +70,16 @@ class OpenPMDWriter:
                     ds = mesh.create_dataset(name, data=arr)
                     nd = arr.ndim
                     labels = ["z", "y", "x"][-nd:]
-                    spacing = [fg.dz, fg.dy, fg.dx][-nd:]
-                    offset = [fg.prob_lo[2], fg.prob_lo[1], fg.prob_lo[0]][-nd:]
+                    if name in field_meta:
+                        meta = field_meta[name]
+                        spacing = list(meta[0])[-nd:]
+                        offset = list(meta[1])[-nd:]
+                        if len(meta) > 2:
+                            labels = list(meta[2])[-nd:]
+                    else:
+                        spacing = [fg.dz, fg.dy, fg.dx][-nd:]
+                        offset = [fg.prob_lo[2], fg.prob_lo[1],
+                                  fg.prob_lo[0]][-nd:]
                     ds.attrs["axisLabels"] = np.array(
                         [np.bytes_(a) for a in labels])
                     ds.attrs["gridSpacing"] = np.array(spacing, np.float64)

@@ -429,8 +429,14 @@ def _init_fixed_ppc(cfg: BeamConfig, geom: Geometry, dtype,
                jnp.meshgrid(Xf, Yf, Zf, indexing="ij")]
 
     prof = _beam_profile_density(cfg, x, y, z, dtype)
+    # radius cut is relative to the (z-dependent) transverse beam center
+    # (ref BeamParticleContainerInit.cpp fixed_ppc: x_c, y_c offsets)
+    mx = jnp.asarray(cfg.mean_fn(0)(z), dtype)
+    my = jnp.asarray(cfg.mean_fn(1)(z), dtype)
+    rx = x - mx
+    ry = y - my
     valid = ((z >= cfg.zmin) & (z <= cfg.zmax)
-             & (x * x + y * y <= cfg.radius ** 2)
+             & (rx * rx + ry * ry <= cfg.radius ** 2)
              & (prof > 0.0))
     nppc = px * py * pz
     scale = 1.0 / nppc if normalized_units else dx * dy * dz / nppc

@@ -543,6 +543,10 @@ def deposit_plasma(p: dict, stack_comps: list[str], fields: dict,
         "rhomjz": q_invvol,
     }
 
+    def _val(c):
+        # rho_<species name> deposits the same charge density channel
+        return values["rho"] if c.startswith("rho_") else values[c]
+
     stack = jnp.stack([fields[c] for c in stack_comps])
     if banded is not None:
         from ..ops.banded import banded_deposit
@@ -555,14 +559,14 @@ def deposit_plasma(p: dict, stack_comps: list[str], fields: dict,
         iy0, wy = shape_weights(ym, order)
         # invalid lanes (sorted to the tail) must not drag the window anchor
         iy0 = jnp.where(p["valid"], iy0 + G, NY)
-        vstack = jnp.stack([values[c] for c in stack_comps], axis=-1)
+        vstack = jnp.stack([_val(c) for c in stack_comps], axis=-1)
         stack, _lost = banded_deposit(stack, iy0, wy, ix0 + G, wx,
                                       vstack, NY, NX, W=min(W, NY), K=K)
         if lost_out is not None:
             lost_out.append(_lost)
     else:
         from ..ops.deposit import deposit_multi
-        stack = deposit_multi(stack, x, y, [values[c] for c in stack_comps],
+        stack = deposit_multi(stack, x, y, [_val(c) for c in stack_comps],
                               geom, order)
     out_fields = dict(fields)
     for i, c in enumerate(stack_comps):
@@ -637,6 +641,10 @@ def fused_plasma_deposits(p: dict, stack_comps: list[str], fields: dict,
         "rhomjz": q_invvol,
     }
 
+    def _val(c):
+        # rho_<species name> deposits the same charge density channel
+        return values["rho"] if c.startswith("rho_") else values[c]
+
     # explicit Sx/Sy coefficient channels (see explicit_deposition)
     cd_mu0 = charge * invvol * pc.mu0 * p["w"] * wmask
     if cfg.can_ionize:
@@ -672,7 +680,7 @@ def fused_plasma_deposits(p: dict, stack_comps: list[str], fields: dict,
         # one-hot: dWx[:, i] = (Wx[:, i+1] - Wx[:, i-1]) / 2, so the dwx/dwy
         # channels deposit with PLAIN weights and the derivative becomes a
         # grid difference in combine_explicit_sxsy — one matrix for all.
-        vall = jnp.stack([values[c] for c in stack_comps] + chans
+        vall = jnp.stack([_val(c) for c in stack_comps] + chans
                          + [v2[:, 0], v2[:, 1], v3[:, 0], v3[:, 1]], axis=-1)
         acc = jnp.concatenate([
             jnp.stack([fields[c] for c in stack_comps]),
@@ -684,7 +692,7 @@ def fused_plasma_deposits(p: dict, stack_comps: list[str], fields: dict,
         dgrids = (acc[Cm:Cm + C1], acc[Cm + C1:Cm + C1 + 2],
                   acc[Cm + C1 + 2:], True)
     else:
-        vmain = jnp.stack([values[c] for c in stack_comps] + chans, axis=-1)
+        vmain = jnp.stack([_val(c) for c in stack_comps] + chans, axis=-1)
         acc = jnp.concatenate([
             jnp.stack([fields[c] for c in stack_comps]),
             jnp.zeros((C1 + 2, NY, NX), x.dtype)])

@@ -92,16 +92,24 @@ class Simulation:
                                       self.normalized_units)
             for n in beam_names)
 
-        diag_type = inputs.query("diagnostic.diag_type", "xyz", str)
-        self.diag_type = diag_type
-        self.output_period = inputs.query("diagnostic.output_period", -1, int)
-        field_data = inputs.query_list(
-            "diagnostic.field_data",
-            ["ExmBy", "EypBx", "Ez", "Bx", "By", "Bz", "Psi"], str)
-
         from ..fields.laser import LaserConfig
         laser_cfg = LaserConfig.from_inputs(inputs, self.pc)
         self.laser_stream = None  # (n00, nm1) complex (nz, NY, NX) arrays
+
+        self.output_period = inputs.query("diagnostic.output_period", -1, int)
+        self.beam_output_period = inputs.query(
+            "diagnostic.beam_output_period", self.output_period, int)
+        beam_data = inputs.query_list("diagnostic.beam_data", ["all"], str)
+        if beam_data == ["all"]:
+            self.beam_data = tuple(beam_names)
+        elif beam_data == ["none"]:
+            self.beam_data = ()
+        else:
+            self.beam_data = tuple(beam_data)
+        solver_name = solver
+        self.diags, field_data, dep_rho, dep_rho_ind = self._parse_diags(
+            inputs, solver_name == "explicit", laser_cfg.use_laser,
+            plasma_names)
 
         self.cfg = SimConfig(
             geom=self.geom,
@@ -115,7 +123,12 @@ class Simulation:
                 "hipace.depos_derivative_type", 2, int),
             do_beam_jx_jy_deposition=inputs.query(
                 "hipace.do_beam_jx_jy_deposition", True, bool),
-            deposit_rho=inputs.query("hipace.deposit_rho", False, bool),
+            open_boundary=(inputs.query("boundary.field", "Dirichlet",
+                                        str).lower() == "open"),
+            deposit_rho=dep_rho,
+            deposit_rho_individual=dep_rho_ind,
+            diags=self.diags,
+            insitu_laser_period=inputs.query("lasers.insitu_period", 0, int),
             do_symmetrize=inputs.query("fields.do_symmetrize", False, bool),
             predcorr_B_error_tolerance=inputs.query(
                 "hipace.predcorr_B_error_tolerance", 4e-2),
@@ -196,6 +209,126 @@ class Simulation:
             self.normalized_units)
 
         self._step_fn = jax.jit(partial(self._time_step))
+
+    def _parse_diags(self, inputs, explicit, use_laser, plasma_names):
+        """Build the named field diagnostics (ref Diagnostic.cpp; parameter
+        docs parameters.rst:932-1110). Returns (diags, legacy_union_comps,
+        deposit_rho, deposit_rho_individual)."""
+        from .step import DiagConfig
+        g = self.geom
+        inf = float("inf")
+        default_names = ["lev0"] + (["laser_diag"] if use_laser else [])
+        names = inputs.query_list("diagnostic.names", default_names, str)
+        if names == ["no_field_diag"]:
+            names = []
+        if explicit:
+            all_comps = ["ExmBy", "EypBx", "Ez", "Bx", "By", "Bz", "Psi",
+                         "jx_beam", "jy_beam", "jz_beam", "jx", "jy",
+                         "rhomjz"]
+            avail = set(all_comps) | {"chi", "Sx", "Sy", "rho"}
+        else:
+            all_comps = ["ExmBy", "EypBx", "Ez", "Bx", "By", "Bz", "Psi",
+                         "jx", "jy", "jz", "rhomjz"]
+            avail = set(all_comps) | {"rho"} | ({"chi"} if use_laser
+                                                else set())
+        if use_laser:
+            avail |= {"aabs"}
+        avail |= {f"rho_{p}" for p in plasma_names}
+        dd = inputs.prefix("diagnostic")
+        dep_rho = inputs.query("hipace.deposit_rho", False, bool)
+        dep_rho_ind = inputs.query("hipace.deposit_rho_individual",
+                                   False, bool)
+
+        def patch_range(lo, hi, plo, d, n):
+            import math
+            i0 = 0 if lo == -inf else max(0, int(math.ceil(
+                (lo - plo) / d - 0.5)))
+            i1 = n - 1 if hi == inf else min(n - 1, int(math.floor(
+                (hi - plo) / d - 0.5)))
+            return (i0, max(i0, i1))
+
+        diags = []
+        for name in names:
+            pp = inputs.prefix(name)
+
+            def q(k, dflt, ty=None):
+                return pp.query(k, dd.query(k, dflt, ty), ty)
+
+            base_default = {"laser_diag": "laser"}.get(name, "level_0")
+            base = q("base_geometry", base_default, str)
+            if base in ("level_1", "level_2"):
+                continue  # mesh refinement diags: not yet supported
+            if base == "laser" and not use_laser:
+                continue
+            period = pp.query("output_period",
+                              dd.query("output_period",
+                                       self.output_period, int), int)
+            dtyp = q("diag_type", "xyz", str)
+            coars = tuple(pp.query_list(
+                "coarsening", dd.query_list("coarsening", [1, 1, 1], int),
+                int))
+            ghosts = q("include_ghost_cells", False, bool)
+            default_fd = ["laserEnvelope"] if base == "laser" else ["all"]
+            fd = pp.query_list("field_data",
+                               dd.query_list("field_data", default_fd, str),
+                               str)
+            comps: list = []
+            for tok in fd:
+                if tok == "all":
+                    comps = (["laserEnvelope"] if base == "laser"
+                             else list(all_comps))
+                elif tok == "none":
+                    comps = []
+                elif tok.startswith("remove_"):
+                    comps = [c for c in comps if c != tok[len("remove_"):]]
+                elif tok == "laserEnvelope":
+                    if base == "laser":
+                        comps.append(tok)
+                else:
+                    if tok == "rho":
+                        dep_rho = True
+                    if tok.startswith("rho_") and tok[4:] in plasma_names:
+                        dep_rho_ind = True
+                    if tok in avail:
+                        comps.append(tok)
+            seen = set()
+            comps = [c for c in comps
+                     if not (c in seen or seen.add(c))]
+            if not comps:
+                continue
+            plo = pp.query_list("patch_lo",
+                                dd.query_list("patch_lo", [-inf] * 3), float)
+            phi = pp.query_list("patch_hi",
+                                dd.query_list("patch_hi", [inf] * 3), float)
+            diags.append(DiagConfig(
+                name=name, base=base, diag_type=dtyp, comps=tuple(comps),
+                coarsening=coars, include_ghosts=bool(ghosts),
+                patch_x=patch_range(plo[0], phi[0], g.prob_lo[0], g.dx,
+                                    g.nx),
+                patch_y=patch_range(plo[1], phi[1], g.prob_lo[1], g.dy,
+                                    g.ny),
+                patch_z=patch_range(plo[2], phi[2], g.prob_lo[2], g.dz,
+                                    g.nz),
+                period=period))
+
+        # legacy union: comps served by the full-interior xyz stack (kept
+        # even for period-0 diags so res["diag"] stays available to callers)
+        union: list = []
+        ident = []
+        for dg in diags:
+            is_id = (dg.base == "level_0" and dg.diag_type == "xyz"
+                     and dg.coarsening[:2] == (1, 1)
+                     and not dg.include_ghosts
+                     and dg.patch_x == (0, g.nx - 1)
+                     and dg.patch_y == (0, g.ny - 1))
+            ident.append(is_id)
+            if is_id:
+                union.extend(c for c in dg.comps if c not in union)
+        # period-0 diags never write; drop non-identity ones so the scan
+        # doesn't emit device-side payloads for them
+        kept = tuple(dg for dg, is_id in zip(diags, ident)
+                     if dg.period != 0 or is_id)
+        return kept, union, dep_rho, dep_rho_ind
 
     @staticmethod
     def _collision_cfg(inputs, plasma_names, beam_names):
@@ -324,6 +457,19 @@ class Simulation:
             carry["chi_initial"] = initial_chi(
                 cfg.laser, self.plasma_cfgs, g, self.pc, self.pc.c * time,
                 self.dtype)
+        int_diags = [dg for dg in cfg.diags
+                     if dg.diag_type == "xy_integrated"]
+        if int_diags:
+            from .step import diag_slice_shape
+            carry["diag_int"] = {
+                dg.name: jnp.zeros(
+                    diag_slice_shape(dg, g),
+                    jnp.complex64 if "laserEnvelope" in dg.comps
+                    and self.dtype == jnp.float32
+                    else jnp.complex128 if "laserEnvelope" in dg.comps
+                    else self.dtype)
+                for dg in int_diags}
+
         beam_next = {k: jnp.concatenate([jnp.zeros_like(v[:1]), v[:-1]])
                      for k, v in binned.items() if k != "n_dropped"}
         beam_next["valid"] = beam_next["valid"].at[0].set(False)
@@ -361,9 +507,15 @@ class Simulation:
             # stream for the next step: n00 <- np1, nm1 <- n00
             out["laser_stream"] = (ys["laser_np1"], ys["laser_n00"])
         for k in ("insitu_beam", "insitu_field", "insitu_plasma",
-                  "salame_W", "salame_dbg", "salame_is_sal"):
+                  "insitu_laser", "salame_W", "salame_dbg", "salame_is_sal"):
             if k in ys:
                 out[k] = ys[k]
+        for k in ys:
+            if k.startswith("diagf_"):
+                out[k] = ys[k]
+        if int_diags:
+            for dg in int_diags:
+                out["diag_int_" + dg.name] = carry["diag_int"][dg.name]
         if "banded_lost" in ys:
             out["banded_lost"] = jnp.sum(ys["banded_lost"])
         return out
@@ -412,8 +564,7 @@ class Simulation:
             pre_push_binned = self.binned
             res = self.run_step(step)
             if write_output and self._do_output(step):
-                self._write_diagnostics(step, res["diag"], pre_push_binned,
-                                        res.get("laser_stream"))
+                self._write_diagnostics(step, res, pre_push_binned)
             if write_output:
                 self._write_insitu(step, res)
             self.binned = res["binned"]
@@ -426,13 +577,17 @@ class Simulation:
                     self.pc, self.time, self.dt)
         return self
 
-    def _do_output(self, step: int) -> bool:
-        p = self.output_period
-        if p < 0:
+    def _period_hit(self, period: int, step: int) -> bool:
+        if period < 0:
             return step == self.max_step
-        if p == 0:
+        if period == 0:
             return False
-        return (step % p == 0) or step == self.max_step
+        return (step % period == 0) or step == self.max_step
+
+    def _do_output(self, step: int) -> bool:
+        return (any(self._period_hit(dg.period, step) for dg in self.diags)
+                or (bool(self.beam_data)
+                    and self._period_hit(self.beam_output_period, step)))
 
     # ------------------------------------------------------------------
     def _write_insitu(self, step, res):
@@ -463,6 +618,12 @@ class Simulation:
                                    self.normalized_units)
             writer("field", "field", "diags/field_insitu",
                    "fields.insitu_file_prefix").write_record(rec)
+        if "insitu_laser" in res and cfg.insitu_laser_period \
+                and step % cfg.insitu_laser_period == 0:
+            rec = ins.laser_record(step, self.time, res["insitu_laser"],
+                                   self.geom, self.normalized_units)
+            writer("laser", "laser", "diags/laser_insitu",
+                   "lasers.insitu_file_prefix").write_record(rec)
         if "insitu_plasma" in res and cfg.insitu_plasma_period \
                 and step % cfg.insitu_plasma_period == 0:
             for i, p in enumerate(self.plasma_cfgs):
@@ -473,41 +634,87 @@ class Simulation:
                 writer("plasma", p.name, "diags/plasma_insitu",
                        f"{p.name}.insitu_file_prefix").write_record(rec)
 
-    def _slice_diag(self, arr):
-        """Apply the diag_type slicing to a (nz, ny, nx) array."""
-        if self.diag_type == "xz":
-            ny = arr.shape[1]
-            if ny % 2 == 0:
-                return 0.5 * (arr[:, ny // 2 - 1, :] + arr[:, ny // 2, :])
-            return arr[:, ny // 2, :]
-        if self.diag_type == "yz":
-            nx = arr.shape[2]
-            if nx % 2 == 0:
-                return 0.5 * (arr[:, :, nx // 2 - 1] + arr[:, :, nx // 2])
-            return arr[:, :, nx // 2]
+    @staticmethod
+    def _z_process(arr, dg, geom):
+        """Host-side z patch crop + coarsening on a z-leading stack."""
+        z0, z1 = dg.patch_z
+        arr = arr[z0:z1 + 1]
+        cz = dg.coarsening[2]
+        if cz > 1:
+            n = (arr.shape[0] // cz) * cz
+            arr = arr[:n]
+            if cz % 2 == 1:
+                arr = arr[cz // 2::cz]
+            else:
+                arr = 0.5 * (arr[cz // 2 - 1::cz] + arr[cz // 2::cz])
         return arr
 
-    def _write_diagnostics(self, step: int, diag, pre_binned,
-                           laser_stream=None):
-        diag = np.asarray(diag)  # (nz, ncomp, ny, nx)
+    def _diag_geometry(self, dg):
+        """(spacing, offset) per written axis, reference layout z,y,x."""
+        g = self.geom
+        cx, cy, cz = dg.coarsening
+        sp_z = g.dz * cz
+        off_z = g.prob_lo[2] + dg.patch_z[0] * g.dz
+        sp_y = g.dy * cy
+        off_y = g.prob_lo[1] + dg.patch_y[0] * g.dy
+        sp_x = g.dx * cx
+        off_x = g.prob_lo[0] + dg.patch_x[0] * g.dx
+        return (sp_z, sp_y, sp_x), (off_z, off_y, off_x)
+
+    def _write_diagnostics(self, step: int, res, pre_binned):
+        """Per-diag processing + openPMD write (ref OpenPMDWriter.cpp)."""
+        diag = np.asarray(res["diag"]) if "diag" in res else None
+        from .step import _diag_is_identity
         fields = {}
-        if laser_stream is not None:
-            G = self.geom.nguards
-            NY, NX = self.geom.slice_shape
-            a = np.asarray(laser_stream[1])[:, G:NY - G, G:NX - G]
-            fields["laserEnvelope"] = self._slice_diag(a)
-        for ic, name in enumerate(self.cfg.diag_comps):
-            fields[name] = self._slice_diag(diag[:, ic])
+        field_meta = {}
+        for dg in self.diags:
+            if not self._period_hit(dg.period, step):
+                continue
+            spacing, offset = self._diag_geometry(dg)
+            if _diag_is_identity(dg, self.cfg):
+                for c in dg.comps:
+                    arr = self._z_process(
+                        diag[:, self.cfg.diag_comps.index(c)], dg, self.geom)
+                    fields[f"{dg.name}/{c}" if dg.name != "lev0" else c] = arr
+                    field_meta[f"{dg.name}/{c}" if dg.name != "lev0"
+                               else c] = (spacing, offset)
+                continue
+            if dg.diag_type == "xy_integrated":
+                arr = np.asarray(res["diag_int_" + dg.name]) * self.geom.dz
+                for ic, c in enumerate(dg.comps):
+                    key = f"{dg.name}/{c}" if dg.name != "lev0" else c
+                    fields[key] = arr[ic]
+                    field_meta[key] = ((spacing[1], spacing[2]),
+                                      (offset[1], offset[2]), ("y", "x"))
+                continue
+            arr = self._z_process(np.asarray(res["diagf_" + dg.name]),
+                                  dg, self.geom)          # (nz', C, ...)
+            for ic, c in enumerate(dg.comps):
+                key = f"{dg.name}/{c}" if dg.name != "lev0" else c
+                fields[key] = arr[:, ic]
+                if dg.diag_type == "xz":
+                    field_meta[key] = ((spacing[0], spacing[2]),
+                                      (offset[0], offset[2]), ("z", "x"))
+                elif dg.diag_type == "yz":
+                    field_meta[key] = ((spacing[0], spacing[1]),
+                                      (offset[0], offset[1]), ("z", "y"))
+                else:
+                    field_meta[key] = (spacing, offset)
+
         beams = {}
-        bid = np.asarray(pre_binned["beam_id"].reshape(-1))
-        v_all = np.asarray(pre_binned["valid"].reshape(-1))
-        for ib, bcfg in enumerate(self.beam_cfgs):
-            v = v_all & (bid == ib)
-            beams[bcfg.name] = {
-                k: np.asarray(pre_binned[k].reshape(-1))[v]
-                for k in bm.BEAM_ATTRS}
+        if self.beam_data and self._period_hit(self.beam_output_period,
+                                               step):
+            bid = np.asarray(pre_binned["beam_id"].reshape(-1))
+            v_all = np.asarray(pre_binned["valid"].reshape(-1))
+            for ib, bcfg in enumerate(self.beam_cfgs):
+                if bcfg.name not in self.beam_data:
+                    continue
+                v = v_all & (bid == ib)
+                beams[bcfg.name] = {
+                    k: np.asarray(pre_binned[k].reshape(-1))[v]
+                    for k in bm.BEAM_ATTRS}
         self.writer.write(step, self.time, self.dt, fields, self.geom,
-                          beams=beams)
+                          beams=beams, field_meta=field_meta)
 
 
 def _empty_beam(dtype):

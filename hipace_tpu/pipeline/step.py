@@ -29,6 +29,108 @@ from ..particles import beam as bm
 
 
 @dataclasses.dataclass(frozen=True)
+class DiagConfig:
+    """One named field diagnostic (ref diagnostics/Diagnostic.{H,cpp};
+    parameter surface docs/source/run/parameters.rst:932-1110).
+
+    Crops/coarsening are static cell-index ranges in the base geometry;
+    processing happens device-side per slice so full-resolution 3D stacks
+    never materialize unless asked for.
+    """
+    name: str = "lev0"
+    base: str = "level_0"          # "level_0" | "laser"
+    diag_type: str = "xyz"         # xyz | xz | yz | xy_integrated
+    comps: tuple = ()
+    coarsening: tuple = (1, 1, 1)  # (cx, cy, cz)
+    include_ghosts: bool = False
+    # inclusive cell index ranges (x_lo, x_hi), (y_lo, y_hi), (z_lo, z_hi)
+    patch_x: tuple = (0, -1)
+    patch_y: tuple = (0, -1)
+    patch_z: tuple = (0, -1)
+    period: int = -1
+
+
+def _coarsen_axis(a, axis, r):
+    """First-order-interpolated coarsening by integer ratio r
+    (ref Fields::Copy coarsening, Fields.cpp:413-533)."""
+    if r == 1:
+        return a
+    n = a.shape[axis]
+    nout = n // r
+    a = jax.lax.slice_in_dim(a, 0, nout * r, axis=axis)
+    if r % 2 == 1:
+        return jax.lax.slice_in_dim(a, r // 2, nout * r, stride=r, axis=axis)
+    lo = jax.lax.slice_in_dim(a, r // 2 - 1, nout * r, stride=r, axis=axis)
+    hi = jax.lax.slice_in_dim(a, r // 2, nout * r, stride=r, axis=axis)
+    return 0.5 * (lo + hi)
+
+
+def _process_diag_slice(arrs, dg: DiagConfig, geom: Geometry):
+    """Apply ghost/patch/coarsening/slicing to a list of padded (NY, NX)
+    slice arrays; returns the stacked per-slice diagnostic payload."""
+    G = geom.nguards
+    NY, NX = geom.slice_shape
+    out = []
+    for a in arrs:
+        if dg.diag_type == "xz":
+            ny = geom.ny
+            mid = G + ny // 2
+            row = (0.5 * (a[mid - 1, :] + a[mid, :]) if ny % 2 == 0
+                   else a[mid, :])
+            if not dg.include_ghosts:
+                row = row[G:NX - G][dg.patch_x[0]:dg.patch_x[1] + 1]
+            out.append(_coarsen_axis(row, 0, dg.coarsening[0]))
+            continue
+        if dg.diag_type == "yz":
+            nx = geom.nx
+            mid = G + nx // 2
+            col = (0.5 * (a[:, mid - 1] + a[:, mid]) if nx % 2 == 0
+                   else a[:, mid])
+            if not dg.include_ghosts:
+                col = col[G:NY - G][dg.patch_y[0]:dg.patch_y[1] + 1]
+            out.append(_coarsen_axis(col, 0, dg.coarsening[1]))
+            continue
+        # xyz / xy_integrated (patch crop only without ghosts)
+        if not dg.include_ghosts:
+            a = a[G:NY - G, G:NX - G]
+            a = a[dg.patch_y[0]:dg.patch_y[1] + 1,
+                  dg.patch_x[0]:dg.patch_x[1] + 1]
+        a = _coarsen_axis(a, 0, dg.coarsening[1])
+        a = _coarsen_axis(a, 1, dg.coarsening[0])
+        out.append(a)
+    return jnp.stack(out)
+
+
+def _diag_is_identity(dg: DiagConfig, cfg) -> bool:
+    """True when the diag equals the legacy full-interior xyz stack (no
+    device-side processing needed; host extracts its comps from ys['diag'])."""
+    g = cfg.geom
+    return (dg.base == "level_0" and dg.diag_type == "xyz"
+            and dg.coarsening[:2] == (1, 1) and not dg.include_ghosts
+            and dg.patch_x == (0, g.nx - 1) and dg.patch_y == (0, g.ny - 1)
+            and all(c in cfg.diag_comps for c in dg.comps))
+
+
+def diag_slice_shape(dg: DiagConfig, geom: Geometry):
+    """Static per-slice payload shape for a processed diagnostic."""
+    G = geom.nguards
+    if dg.diag_type == "xz":
+        n = (geom.slice_shape[1] if dg.include_ghosts
+             else dg.patch_x[1] - dg.patch_x[0] + 1)
+        return (len(dg.comps), n // dg.coarsening[0])
+    if dg.diag_type == "yz":
+        n = (geom.slice_shape[0] if dg.include_ghosts
+             else dg.patch_y[1] - dg.patch_y[0] + 1)
+        return (len(dg.comps), n // dg.coarsening[1])
+    if dg.include_ghosts:
+        ny, nx = geom.slice_shape
+    else:
+        ny = dg.patch_y[1] - dg.patch_y[0] + 1
+        nx = dg.patch_x[1] - dg.patch_x[0] + 1
+    return (len(dg.comps), ny // dg.coarsening[1], nx // dg.coarsening[0])
+
+
+@dataclasses.dataclass(frozen=True)
 class SimConfig:
     """Static simulation configuration closed over by the jitted step."""
     geom: Geometry
@@ -51,7 +153,12 @@ class SimConfig:
     plasmas: tuple = ()
     beams: tuple = ()
     slip_cap: int = 64
+    # legacy full-interior stack: union of all identity level_0 diag comps
     diag_comps: tuple = ("ExmBy", "EypBx", "Ez", "Bx", "By", "Bz", "Psi")
+    # named field diagnostics (ref diagnostic.names)
+    diags: tuple = ()
+    deposit_rho_individual: bool = False
+    insitu_laser_period: int = 0
     background_density_SI: float = 0.0
     # analytic grid current (ref utils/GridCurrent.{H,cpp}):
     # (peak_current_density, mean xyz, std xyz) or None
@@ -75,6 +182,9 @@ class SimConfig:
     # banded MXU particle kernels (ops/banded.py): particles are row-sorted
     # once per slice with lax.sort and deposits/gathers run as dense one-hot
     # matmuls over W-row windows of K-particle chunks
+    # free-space transverse boundaries via multipole expansion
+    # (ref OpenBoundary.H; boundary.field = Open)
+    open_boundary: bool = False
     use_banded: bool = False
     banded_W: int = 16
     banded_K: int = 4096
@@ -98,8 +208,11 @@ def init_field_state(cfg: SimConfig, dtype) -> dict:
     """Allocate the zeroed slice field sets (ref Fields::AllocData,
     Fields.cpp:49-220)."""
     g = cfg.geom
+    rho_ind = (tuple(f"rho_{p.name}" for p in cfg.plasmas)
+               if cfg.deposit_rho_individual else ())
     if cfg.explicit:
-        this_comps = THIS_COMPS_EXPLICIT + (("rho",) if cfg.deposit_rho else ())
+        this_comps = THIS_COMPS_EXPLICIT + (("rho",) if cfg.deposit_rho
+                                            else ()) + rho_ind
         if cfg.use_laser:
             this_comps = this_comps + ("aabs",)
         return {
@@ -108,7 +221,8 @@ def init_field_state(cfg: SimConfig, dtype) -> dict:
             "Previous": sl.make_field_set(("jx_beam", "jy_beam"), g, dtype),
             "RhomJzIons": sl.make_field_set(("rhomjz",), g, dtype),
         }
-    this_comps = THIS_COMPS_PC + (("rho",) if cfg.deposit_rho else ())
+    this_comps = THIS_COMPS_PC + (("rho",) if cfg.deposit_rho
+                                  else ()) + rho_ind
     if cfg.use_laser:
         this_comps = this_comps + ("chi", "aabs")
     return {
@@ -122,7 +236,7 @@ def init_field_state(cfg: SimConfig, dtype) -> dict:
 
 
 # ----------------------------------------------------------------------
-def _solve_psi_ez_bz(f_this, cfg: SimConfig, solver):
+def _solve_psi_ez_bz(f_this, cfg: SimConfig, solver, ob=None):
     """SolvePoissonPsiExmByEypBxEzBz (ref Fields.cpp:840-957): all three
     Poisson equations in one batched DST solve, then ExmBy = -dx Psi,
     EypBx = -dy Psi."""
@@ -139,6 +253,12 @@ def _solve_psi_ez_bz(f_this, cfg: SimConfig, solver):
               + sl.ddy_interior(f_this["jy"], g)) / (pc.ep0 * pc.c)
     rhs_bz = pc.mu0 * (sl.ddy_interior(f_this["jx"], g)
                        - sl.ddx_interior(f_this["jy"], g))
+    if ob is not None:
+        rhs_psi = ob.apply(rhs_psi, monopole=True)
+        # Ez/Bz sources are pure derivatives: no physical monopole
+        # (ref Fields.cpp:735-739)
+        rhs_ez = ob.apply(rhs_ez, monopole=False)
+        rhs_bz = ob.apply(rhs_bz, monopole=False)
     sol = solver.solve(jnp.stack([rhs_psi, rhs_ez, rhs_bz]))
 
     out = dict(f_this)
@@ -203,7 +323,7 @@ def _rel_b_field_error(bx, by, bx_it, by_it, geom):
     return jnp.where(b > 0.0, bd / b, 0.0)
 
 
-def _pc_bxby_solve(f, plasmas, beam_next, cfg: SimConfig, solver):
+def _pc_bxby_solve(f, plasmas, beam_next, cfg: SimConfig, solver, ob=None):
     """PredictorCorrectorLoopToSolveBxBy (ref Hipace.cpp:936-1031)."""
     g = cfg.geom
     pc = cfg.pc
@@ -256,6 +376,9 @@ def _pc_bxby_solve(f, plasmas, beam_next, cfg: SimConfig, solver):
             prev_jy_i - sl.interior(nxt["jy"], g))
         rhs_by = rhs_by_static - pc.mu0 * dz2_inv * (
             prev_jx_i - sl.interior(nxt["jx"], g))
+        if ob is not None:
+            rhs_bx = ob.apply(rhs_bx, monopole=True)
+            rhs_by = ob.apply(rhs_by, monopole=True)
         sol = solver.solve(jnp.stack([rhs_bx, rhs_by]))
         pcx = sl.set_interior(pcx, sol[0], g)
         pcy = sl.set_interior(pcy, sol[1], g)
@@ -320,6 +443,11 @@ def make_slice_step(cfg: SimConfig, dtype):
     banded = (cfg.banded_W, cfg.banded_K) if cfg.use_banded else None
     solver = DirichletPoissonSolver(g.nx, g.ny, g.dx, g.dy, dtype)
     mg = MultiGrid(g.nx, g.ny, g.dx, g.dy, dtype) if cfg.explicit else None
+    if cfg.open_boundary:
+        from ..fields.open_boundary import OpenBoundary
+        ob = OpenBoundary(g, dtype)
+    else:
+        ob = None
     if cfg.use_laser:
         from ..fields.laser import make_laser_advance, envelope_slice
         laser_advance = make_laser_advance(cfg.laser, g, pc, dtype)
@@ -345,6 +473,10 @@ def make_slice_step(cfg: SimConfig, dtype):
             this[c] = jnp.zeros_like(this[c])
         if cfg.deposit_rho:
             this["rho"] = jnp.zeros_like(this["rho"])
+        if cfg.deposit_rho_individual:
+            for pcfg in cfg.plasmas:
+                this[f"rho_{pcfg.name}"] = jnp.zeros_like(
+                    this[f"rho_{pcfg.name}"])
         f = dict(f, This=this)
         if cfg.explicit:
             f["Next"] = {c: jnp.zeros_like(v) for c, v in f["Next"].items()}
@@ -373,17 +505,19 @@ def make_slice_step(cfg: SimConfig, dtype):
 
         # ---- plasma deposits on This
         if cfg.explicit:
-            comps = ["jx", "jy", "chi", "rhomjz"]
+            base_comps = ["jx", "jy", "chi", "rhomjz"]
         else:
-            comps = ["jx", "jy", "jz", "rhomjz"] + (
+            base_comps = ["jx", "jy", "jz", "rhomjz"] + (
                 ["chi"] if cfg.use_laser else [])
         if cfg.deposit_rho:
-            comps.append("rho")
+            base_comps.append("rho")
         this = f["This"]
         new_plasmas = []
         lost_acc = []
         dgrids_list = []
         for p, pcfg in zip(plasmas, cfg.plasmas):
+            comps = base_comps + (
+                [f"rho_{pcfg.name}"] if cfg.deposit_rho_individual else [])
             if cfg.explicit and cfg.use_banded:
                 # fused: main currents + explicit Sx/Sy channels share one
                 # one-hot build; Sy/Sx are combined after the field solve
@@ -437,7 +571,7 @@ def make_slice_step(cfg: SimConfig, dtype):
             this[tgt] = this[tgt] + jz_add
 
         # ---- Psi/ExmBy/EypBx/Ez/Bz solve
-        this = _solve_psi_ez_bz(this, cfg, solver)
+        this = _solve_psi_ez_bz(this, cfg, solver, ob)
         f = dict(f, This=this)
 
         # ---- laser envelope advance (ref Hipace.cpp:637 AdvanceSlice)
@@ -513,11 +647,30 @@ def make_slice_step(cfg: SimConfig, dtype):
                 extra_ys["salame_dbg"] = new_sal["dbg"]
         else:
             f, pc_err, pc_iters = _pc_bxby_solve(
-                f, plasmas, xs["beam_next"], cfg, solver)
+                f, plasmas, xs["beam_next"], cfg, solver, ob)
             this = f["This"]
 
-        # ---- per-slice diagnostics (interior of selected comps)
-        diag = jnp.stack([sl.interior(this[c], g) for c in cfg.diag_comps])
+        # ---- per-slice diagnostics (ref Diagnostic.cpp + Fields::Copy)
+        if cfg.diag_comps:
+            diag = jnp.stack([sl.interior(this[c], g)
+                              for c in cfg.diag_comps])
+        else:
+            diag = jnp.zeros((0,), dtype)
+        for dg in cfg.diags:
+            if _diag_is_identity(dg, cfg):
+                continue   # served from the legacy full-interior stack
+            if dg.base == "laser":
+                srcs = [n00j00 if c == "laserEnvelope" else this[c]
+                        for c in dg.comps]
+            else:
+                srcs = [this[c] for c in dg.comps]
+            payload = _process_diag_slice(srcs, dg, g)
+            if dg.diag_type == "xy_integrated":
+                di = dict(carry["diag_int"])
+                di[dg.name] = di[dg.name] + payload
+                carry = dict(carry, diag_int=di)
+            else:
+                extra_ys["diagf_" + dg.name] = payload
 
         # ---- in-situ reduced diagnostics (ref Hipace.cpp:681-688)
         from ..diagnostics import insitu as ins
@@ -528,6 +681,8 @@ def make_slice_step(cfg: SimConfig, dtype):
             extra_ys["insitu_plasma"] = jnp.stack([
                 ins.plasma_slice_moments(p, pc, cfg.insitu_radius)
                 for p in plasmas])
+        if cfg.use_laser and cfg.insitu_laser_period:
+            extra_ys["insitu_laser"] = ins.laser_slice_moments(n00j00, g)
 
         # ---- field ionization (ref Hipace.cpp:693-696)
         if cfg.ionization_pairs:

@@ -1,0 +1,214 @@
+"""Named field diagnostics: slicing, coarsening, patches, xy_integrated,
+per-diag periods, beam_data selection, rho_<species>.
+
+Mirrors the reference's diagnostic surface (ref diagnostics/Diagnostic.cpp;
+docs/source/run/parameters.rst:932-1110): every option is validated against
+the full-resolution identity diagnostic of the same run.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from hipace_tpu.parser import Inputs
+from hipace_tpu.pipeline.simulation import Simulation
+
+
+DECK = """
+hipace.normalized_units = 1
+amr.n_cell = 32 32 24
+max_step = 0
+hipace.dt = 0.
+geometry.prob_lo = -8. -8. -6.
+geometry.prob_hi =  8.  8.  6.
+beams.names = beam
+beam.injection_type = fixed_weight
+beam.num_particles = 3000
+beam.density = 3.
+beam.u_mean = 0. 0. 1000.
+beam.u_std = 0. 0. 0.
+beam.position_mean = 0. 0. 0.
+beam.position_std = 0.3 0.3 1.41
+plasmas.names = elec
+elec.density(x,y,z) = 1.
+elec.ppc = 1 1
+elec.element = electron
+diagnostic.output_period = 1
+"""
+
+
+def _h5(prefix):
+    import h5py
+    return h5py.File(os.path.join(prefix, "openpmd_000000.h5"), "r")
+
+
+def test_diag_slicing_coarsening_patch(tmp_path):
+    pre = str(tmp_path / "d1")
+    inputs = Inputs(DECK, overrides=[
+        f"hipace.file_prefix={pre}",
+        "diagnostic.names=lev0 slice_xz slice_yz coarse patch integ",
+        "diagnostic.field_data=Ez ExmBy",
+        "slice_xz.diag_type=xz",
+        "slice_yz.diag_type=yz",
+        "coarse.coarsening=2 2 3",
+        "patch.patch_lo=-4. -4. -3.",
+        "patch.patch_hi=3.9 3.9 2.9",
+        "integ.diag_type=xy_integrated",
+    ])
+    sim = Simulation(inputs, verbose=0)
+    sim.evolve()
+    g = sim.geom
+    with _h5(pre) as f:
+        base = f["data/0/fields"]
+        ez = np.asarray(base["Ez"])                      # (nz, ny, nx)
+        # xz slice = average of the two central y rows (even ny)
+        xz = np.asarray(base["slice_xz/Ez"])
+        ny = ez.shape[1]
+        np.testing.assert_allclose(
+            xz, 0.5 * (ez[:, ny // 2 - 1] + ez[:, ny // 2]), rtol=1e-12)
+        yz = np.asarray(base["slice_yz/Ez"])
+        nx = ez.shape[2]
+        np.testing.assert_allclose(
+            yz, 0.5 * (ez[:, :, nx // 2 - 1] + ez[:, :, nx // 2]),
+            rtol=1e-12)
+        # coarsening 2 2 3: shape and first-order interp values
+        co = np.asarray(base["coarse/Ez"])
+        assert co.shape == (ez.shape[0] // 3, ny // 2, nx // 2)
+        manual = 0.5 * (ez[:, 0, 0] + ez[:, 1, 0])
+        manual = 0.25 * (ez[:, 0, 0] + ez[:, 1, 0] + ez[:, 0, 1]
+                         + ez[:, 1, 1])
+        manual_z = manual[1::3][:co.shape[0]]
+        np.testing.assert_allclose(co[:, 0, 0], manual_z, rtol=1e-12)
+        ds = base["coarse/Ez"]
+        np.testing.assert_allclose(ds.attrs["gridSpacing"],
+                                   [g.dz * 3, g.dy * 2, g.dx * 2])
+        # patch crop: cells with centers inside the patch box
+        pa = np.asarray(base["patch/Ez"])
+        x0 = int(np.ceil((-4.0 - g.prob_lo[0]) / g.dx - 0.5))
+        x1 = int(np.floor((3.9 - g.prob_lo[0]) / g.dx - 0.5))
+        z0 = int(np.ceil((-3.0 - g.prob_lo[2]) / g.dz - 0.5))
+        z1 = int(np.floor((2.9 - g.prob_lo[2]) / g.dz - 0.5))
+        np.testing.assert_allclose(
+            pa, ez[z0:z1 + 1, x0:x1 + 1, x0:x1 + 1], rtol=1e-12)
+        # xy_integrated = sum over slices * dz
+        ii = np.asarray(base["integ/Ez"])
+        np.testing.assert_allclose(ii, ez.sum(axis=0) * g.dz, rtol=1e-10)
+
+
+def test_field_data_all_remove_and_beam_data(tmp_path):
+    pre = str(tmp_path / "d2")
+    inputs = Inputs(DECK, overrides=[
+        f"hipace.file_prefix={pre}",
+        "diagnostic.field_data=all remove_Bz remove_jx remove_jy",
+        "diagnostic.beam_data=none",
+    ])
+    sim = Simulation(inputs, verbose=0)
+    assert "Bz" not in sim.cfg.diag_comps
+    assert "Ez" in sim.cfg.diag_comps and "jz_beam" in sim.cfg.diag_comps
+    sim.evolve()
+    with _h5(pre) as f:
+        assert "particles" not in f["data/0"]
+        assert "Ez" in f["data/0/fields"]
+
+
+def test_rho_individual(tmp_path):
+    pre = str(tmp_path / "d3")
+    inputs = Inputs(DECK, overrides=[
+        f"hipace.file_prefix={pre}",
+        "diagnostic.field_data=Ez rho rho_elec",
+    ])
+    sim = Simulation(inputs, verbose=0)
+    assert sim.cfg.deposit_rho and sim.cfg.deposit_rho_individual
+    sim.evolve()
+    with _h5(pre) as f:
+        rho = np.asarray(f["data/0/fields/rho"])
+        rho_e = np.asarray(f["data/0/fields/rho_elec"])
+    # single species: rho = rho_elec + neutralizing ion background
+    assert np.max(np.abs(rho_e)) > 0
+    diff = rho - rho_e
+    interior = diff[5:-5]
+    assert np.std(interior) < 0.2 * np.max(np.abs(rho_e))
+
+
+LASER_DECK = """
+max_step = 0
+hipace.dt = 0.
+amr.n_cell = 32 32 16
+my_constants.kp_inv = 10.e-6
+geometry.prob_lo = -6.*kp_inv -6.*kp_inv -8.*kp_inv
+geometry.prob_hi =  6.*kp_inv  6.*kp_inv  6.*kp_inv
+lasers.names = laser
+lasers.lambda0 = .8e-6
+laser.a0 = 0.5
+laser.position_mean = 0. 0. 0
+laser.w0 = 2.*kp_inv
+laser.L0 = 2.*kp_inv
+laser.focal_distance = 0.001
+boundary.field = Dirichlet
+boundary.particle = Periodic
+beams.names = no_beam
+plasmas.names = no_plasma
+diagnostic.output_period = 1
+lasers.insitu_period = 1
+"""
+
+
+def test_laser_diag_and_insitu(tmp_path):
+    pre = str(tmp_path / "dl")
+    ipre = str(tmp_path / "dl_insitu")
+    inputs = Inputs(LASER_DECK, overrides=[
+        f"hipace.file_prefix={pre}",
+        f"lasers.insitu_file_prefix={ipre}",
+    ])
+    sim = Simulation(inputs, verbose=0)
+    assert any(dg.base == "laser" for dg in sim.diags)
+    sim.evolve()
+    with _h5(pre) as f:
+        env = np.asarray(f["data/0/fields/laser_diag/laserEnvelope"])
+    assert np.iscomplexobj(env)
+    # a0=0.5 defocused by focal_distance: amplitude a0*w0/w(f), w(f) =
+    # w0*sqrt(1+(f/zR)^2)
+    zr = np.pi * (2e-5) ** 2 / 0.8e-6
+    expected = 0.5 / np.sqrt(1.0 + (1e-3 / zr) ** 2)
+    assert np.abs(env).max() == pytest.approx(expected, rel=0.1)
+    # in-situ laser file: JSON header + binary record
+    import json
+    fn = os.path.join(ipre, "reduced_laser.0000.txt")
+    raw = open(fn, "rb").read()
+    depth = 0
+    for i, ch in enumerate(raw):
+        if ch == ord("{"):
+            depth += 1
+        elif ch == ord("}"):
+            depth -= 1
+            if depth == 0:
+                break
+    header = json.loads(raw[:i + 1])
+    dt = np.dtype(_to_dtype(header))
+    rec = np.frombuffer(raw[i + 1:], dtype=dt)
+    assert rec["max(|a|^2)"].max() == pytest.approx(np.abs(env).max() ** 2, rel=1e-6)
+    # axis(a) must equal the envelope at the center cell of each slice
+    axis = rec["axis(a).re"][0] + 1j * rec["axis(a).im"][0]
+    ny, nx = env.shape[1:]
+    np.testing.assert_allclose(np.abs(axis),
+                               np.abs(env[:, ny // 2, nx // 2]), rtol=1e-6)
+
+
+def _to_dtype(d):
+    return np.dtype({"names": d["names"],
+                     "formats": [_to_dtype(f) if isinstance(f, dict) else f
+                                 for f in d["formats"]]})
+
+
+def test_no_field_diag(tmp_path):
+    pre = str(tmp_path / "d4")
+    inputs = Inputs(DECK, overrides=[
+        f"hipace.file_prefix={pre}",
+        "diagnostic.names=no_field_diag",
+    ])
+    sim = Simulation(inputs, verbose=0)
+    assert sim.cfg.diag_comps == ()
+    sim.evolve()
+    with _h5(pre) as f:
+        assert "fields" not in f["data/0"]
