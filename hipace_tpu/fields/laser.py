@@ -49,6 +49,10 @@ class LaserPulseConfig:
     profile_real_expr: str = "0"
     profile_imag_expr: str = "0"
     consts: tuple = ()
+    # from_file init (ref Laser.H:53-62, Laser.cpp:22-30)
+    input_file: str = ""
+    file_envelope_name: str = "laserEnvelope"
+    file_iteration: int = 0
 
     @classmethod
     def from_inputs(cls, inputs: Inputs, name: str, pc: PhysConst):
@@ -75,6 +79,10 @@ class LaserPulseConfig:
             position_mean=tuple(pp.query_list("position_mean", [0., 0., 0.])),
             propagation_angle_yz=pp.query("propagation_angle_yz", 0.0),
             PFT_yz=pp.query("PFT_yz", math.pi / 2.0),
+            input_file=pp.query("input_file", "", str),
+            file_envelope_name=pp.query("openPMD_laser_name",
+                                        "laserEnvelope", str),
+            file_iteration=pp.query("iteration", 0, int),
             profile_real_expr=pr, profile_imag_expr=pi,
             consts=tuple(sorted((k, float(v)) for k, v in
                                 inputs.my_constants.items()
@@ -114,6 +122,42 @@ class LaserConfig:
     @property
     def use_laser(self) -> bool:
         return len(self.pulses) > 0
+
+    @property
+    def from_file(self) -> bool:
+        return any(p.init_type == "from_file" for p in self.pulses)
+
+
+def load_laser_from_file(lcfg: LaserConfig, geom: Geometry, dtype):
+    """Read the initial envelope from an openPMD file (ref Laser.cpp
+    GetEnvelopeFromFileHelper; xyt cartesian geometry). The file grid must
+    match the simulation grid; the data fills the interior, guards zero.
+    Our own laser_diag output round-trips through this (restart)."""
+    import h5py
+    import numpy as np
+
+    assert len(lcfg.pulses) == 1, "from_file supports a single pulse"
+    p = lcfg.pulses[0]
+    ctype = jnp.complex64 if dtype == jnp.float32 else jnp.complex128
+    with h5py.File(p.input_file, "r") as f:
+        it = f[f"data/{p.file_iteration}"]
+        name = p.file_envelope_name
+        mesh = it["fields"]
+        if name in mesh:
+            arr = np.asarray(mesh[name])
+        elif f"laser_diag/{name}" in mesh:
+            arr = np.asarray(mesh[f"laser_diag/{name}"])
+        else:
+            raise KeyError(f"{name} not found in {p.input_file}")
+    if arr.shape != (geom.nz, geom.ny, geom.nx):
+        raise ValueError(
+            f"laser input file grid {arr.shape} != simulation grid "
+            f"{(geom.nz, geom.ny, geom.nx)}")
+    G = geom.nguards
+    NY, NX = geom.slice_shape
+    full = np.zeros((geom.nz, NY, NX), np.complex128)
+    full[:, G:NY - G, G:NX - G] = arr
+    return jnp.asarray(full, ctype)
 
 
 def envelope_slice(lcfg: LaserConfig, geom: Geometry, islice, dtype):

@@ -95,6 +95,11 @@ class Simulation:
         from ..fields.laser import LaserConfig
         laser_cfg = LaserConfig.from_inputs(inputs, self.pc)
         self.laser_stream = None  # (n00, nm1) complex (nz, NY, NX) arrays
+        if laser_cfg.from_file:
+            from ..fields.laser import load_laser_from_file
+            env = load_laser_from_file(laser_cfg, self.geom, self.dtype)
+            # nm1 is not read at step 0 (two-level scheme); seed it with n00
+            self.laser_stream = (env, env)
 
         self.output_period = inputs.query("diagnostic.output_period", -1, int)
         self.beam_output_period = inputs.query(

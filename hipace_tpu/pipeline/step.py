@@ -485,8 +485,13 @@ def make_slice_step(cfg: SimConfig, dtype):
         # (ref Hipace.cpp:603 UpdateLaserAabs)
         if cfg.use_laser:
             step_idx = carry["step"]
-            env0 = envelope_slice(cfg.laser, g, islice.astype(dtype), dtype)
-            n00j00 = jnp.where(step_idx == 0, env0, xs["laser_n00"])
+            if cfg.laser.from_file:
+                # the stream was pre-filled from the openPMD file
+                n00j00 = xs["laser_n00"]
+            else:
+                env0 = envelope_slice(cfg.laser, g, islice.astype(dtype),
+                                      dtype)
+                n00j00 = jnp.where(step_idx == 0, env0, xs["laser_n00"])
             # nm1 is only read for step >= 1 (driver streams step s-1's n00)
             lstate = dict(carry["laser"], n00j00=n00j00,
                           nm1j00=xs["laser_nm1"])

@@ -201,6 +201,38 @@ def _to_dtype(d):
                                  for f in d["formats"]]})
 
 
+def test_laser_from_file_restart(tmp_path):
+    """Write the envelope at step 1, restart from the file, and compare the
+    next step against the uninterrupted run (ref from_file laser init,
+    Laser.cpp GetEnvelopeFromFileHelper; restart.normalized tests)."""
+    pre_a = str(tmp_path / "la")
+    inputs_a = Inputs(LASER_DECK, overrides=[
+        f"hipace.file_prefix={pre_a}", "max_step=2",
+        "hipace.dt=140.e-6/clight", "lasers.insitu_period=0"])
+    sim_a = Simulation(inputs_a, verbose=0)
+    sim_a.evolve()
+
+    pre_b = str(tmp_path / "lb")
+    inputs_b = Inputs(LASER_DECK, overrides=[
+        f"hipace.file_prefix={pre_b}", "max_step=1",
+        "hipace.dt=140.e-6/clight", "lasers.insitu_period=0",
+        "laser.init_type=from_file",
+        f"laser.input_file={pre_a}/openpmd_000001.h5",
+        "laser.iteration=1"])
+    sim_b = Simulation(inputs_b, verbose=0)
+    sim_b.evolve()
+
+    import h5py
+    with h5py.File(os.path.join(pre_a, "openpmd_000002.h5"), "r") as f:
+        env_a = np.asarray(f["data/2/fields/laser_diag/laserEnvelope"])
+    with h5py.File(os.path.join(pre_b, "openpmd_000001.h5"), "r") as f:
+        env_b = np.asarray(f["data/1/fields/laser_diag/laserEnvelope"])
+    scale = np.abs(env_a).max()
+    # not exact: the restarted run re-enters the 2-level startup scheme
+    # (nm1 is not stored in the file), like the reference's from_file init
+    assert np.abs(env_b - env_a).max() / scale < 5e-3
+
+
 def test_no_field_diag(tmp_path):
     pre = str(tmp_path / "d4")
     inputs = Inputs(DECK, overrides=[
