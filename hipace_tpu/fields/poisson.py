@@ -26,15 +26,23 @@ import math
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.dst import dst1_2d
+from ..ops.dst import dst1_2d, dst1_2d_fast
 
 
 class DirichletPoissonSolver:
-    """Batched DST-I Poisson solver for Laplacian(u) = rhs, u=0 at ghost nodes."""
+    """Batched DST-I Poisson solver for Laplacian(u) = rhs, u=0 at ghost nodes.
 
-    def __init__(self, nx: int, ny: int, dx: float, dy: float, dtype=jnp.float32):
+    variant: "expanded" (odd extension + rfft of length 2(N+1), any N) or
+    "fast" (same-size rfft with sine twiddles, needs odd N; the reference's
+    FFTDirichletFast and its GPU default)."""
+
+    def __init__(self, nx: int, ny: int, dx: float, dy: float,
+                 dtype=jnp.float32, variant: str = "expanded"):
         self.nx, self.ny = nx, ny
         self.dx, self.dy = dx, dy
+        if variant == "fast" and (nx % 2 == 0 or ny % 2 == 0):
+            variant = "expanded"   # fast DST needs odd sizes
+        self._dst2d = dst1_2d_fast if variant == "fast" else dst1_2d
         kx = np.arange(nx)
         ky = np.arange(ny)
         sinx2 = np.sin((kx + 1) * math.pi / (2 * (nx + 1))) ** 2
@@ -46,8 +54,8 @@ class DirichletPoissonSolver:
 
     def solve(self, rhs: jnp.ndarray) -> jnp.ndarray:
         """Solve Laplacian(u) = rhs. rhs shape (..., ny, nx) -> u same shape."""
-        spec = dst1_2d(rhs)
-        return dst1_2d(spec * self.inv_eig)
+        spec = self._dst2d(rhs)
+        return self._dst2d(spec * self.inv_eig)
 
     def solve_helmholtz(self, rhs: jnp.ndarray, a: float) -> jnp.ndarray:
         """Solve (Laplacian - a) u = rhs for constant a (used as MG alternative
@@ -57,10 +65,27 @@ class DirichletPoissonSolver:
         ky = jnp.arange(ny)
         sinx2 = jnp.sin((kx + 1) * math.pi / (2 * (nx + 1))) ** 2
         siny2 = jnp.sin((ky + 1) * math.pi / (2 * (ny + 1))) ** 2
-        lam = -4.0 * (sinx2[None, :] / (self.dx ** 2) + siny2[:, None] / (self.dy ** 2))
+        lam = -4.0 * (sinx2[None, :] / (self.dx ** 2)
+                      + siny2[:, None] / (self.dy ** 2))
         norm = 4.0 / ((nx + 1) * (ny + 1))
         spec = dst1_2d(rhs)
         return dst1_2d(spec * (norm / (lam - a)))
+
+
+class MGDirichletPoissonSolver:
+    """Poisson via the geometric multigrid (ref MGPoissonSolverDirichlet.{H,cpp}:
+    hpmg solve3 with zero a-coefficient). Same ghost-node Dirichlet
+    convention as the DST solvers for odd sizes; supports 2^N sizes too."""
+
+    def __init__(self, nx: int, ny: int, dx: float, dy: float,
+                 dtype=jnp.float32, tol_rel: float = 1e-11):
+        from .multigrid import MultiGrid
+        self.mg = MultiGrid(nx, ny, dx, dy, dtype)
+        self.tol_rel = tol_rel
+
+    def solve(self, rhs: jnp.ndarray) -> jnp.ndarray:
+        return self.mg.solve(jnp.zeros_like(rhs), rhs, 0.0,
+                             tol_rel=self.tol_rel)
 
 
 class PeriodicPoissonSolver:

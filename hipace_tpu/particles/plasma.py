@@ -56,6 +56,10 @@ class PlasmaConfig:
     # per-level ADK constants (power, prefactor, exp_prefactor), attached by
     # the driver once dz and the background density are known
     adk: tuple = ()
+    # density table: ((position, density_expr), ...) — the expression for
+    # the smallest position >= c*t is used each step
+    # (ref <plasma name>.density_table_file, parameters.rst:405-411)
+    density_table: tuple = ()
 
     @classmethod
     def from_inputs(cls, inputs: Inputs, name: str, pc: PhysConst,
@@ -94,6 +98,22 @@ class PlasmaConfig:
             f = pa.get_function("density", ("x", "y", "z"))
         if f is not None:
             density_expr = f.expr
+        table = []
+        table_file = pp.query("density_table_file", "", str)
+        if table_file:
+            with open(table_file) as fh:
+                for line in fh:
+                    parts = line.split(None, 1)
+                    if len(parts) != 2:
+                        continue
+                    try:
+                        pos = float(parts[0])
+                    except ValueError:
+                        continue   # comment / malformed line
+                    table.append((pos, parts[1].strip()))
+            table.sort(key=lambda t: t[0])
+            if table:
+                density_expr = table[0][1]
         return cls(
             name=name, charge=charge, mass=mass, ppc=ppc,
             n_subcycles=q("n_subcycles", 1, int),
@@ -112,6 +132,7 @@ class PlasmaConfig:
                                 if isinstance(v, (int, float)))),
             element=element,
             ionization_product=pp.query("ionization_product", "", str),
+            density_table=tuple(table),
         )
 
     def density_fn(self) -> Callable:

@@ -143,6 +143,8 @@ class Simulation:
                 "hipace.predcorr_B_mixing_factor", 0.05),
             MG_tolerance_rel=inputs.query("hipace.MG_tolerance_rel", 1e-4),
             MG_tolerance_abs=inputs.query("hipace.MG_tolerance_abs", 0.0),
+            poisson_solver=inputs.query("fields.poisson_solver",
+                                        "FFTDirichletFast", str),
             plasmas=self.plasma_cfgs,
             beams=self.beam_cfgs,
             diag_comps=tuple(field_data),
@@ -566,6 +568,7 @@ class Simulation:
             if self.verbose >= 1:
                 print(f"Rank 0 started step {step} at time {self.time}"
                       f" with dt {self.dt}")
+            self._apply_density_table()
             pre_push_binned = self.binned
             res = self.run_step(step)
             if write_output and self._do_output(step):
@@ -581,6 +584,33 @@ class Simulation:
                     self.adt_cfg, mom, self.beam_cfgs[0], self.plasma_cfgs,
                     self.pc, self.time, self.dt)
         return self
+
+    def _apply_density_table(self):
+        """Select each tabulated plasma's density expression for the current
+        c*t (rounded up to the nearest table position, ref
+        parameters.rst:405-411). Changing an expression rebuilds the jitted
+        step (recompile per table segment)."""
+        import dataclasses as _dc
+        if not any(p.density_table for p in self.plasma_cfgs):
+            return
+        c_t = self.pc.c * self.time
+        changed = False
+        new_cfgs = list(self.plasma_cfgs)
+        for i, p in enumerate(self.plasma_cfgs):
+            if not p.density_table:
+                continue
+            expr = p.density_table[-1][1]
+            for pos, e in p.density_table:
+                if pos >= c_t:
+                    expr = e
+                    break
+            if expr != p.density_expr:
+                new_cfgs[i] = _dc.replace(p, density_expr=expr)
+                changed = True
+        if changed:
+            self.plasma_cfgs = tuple(new_cfgs)
+            self.cfg = _dc.replace(self.cfg, plasmas=self.plasma_cfgs)
+            self._step_fn = jax.jit(partial(self._time_step))
 
     def _period_hit(self, period: int, step: int) -> bool:
         if period < 0:
@@ -610,12 +640,13 @@ class Simulation:
 
         if "insitu_beam" in res and cfg.insitu_beam_period \
                 and step % cfg.insitu_beam_period == 0:
-            b = self.beam_cfgs[0]
-            rec = ins.beam_record(step, self.time,
-                                  res["insitu_beam"], b.charge, b.mass,
-                                  self.geom, self.normalized_units)
-            writer("beam", b.name, "diags/insitu",
-                   f"{b.name}.insitu_file_prefix").write_record(rec)
+            for ib, b in enumerate(self.beam_cfgs):
+                rec = ins.beam_record(step, self.time,
+                                      res["insitu_beam"][:, ib],
+                                      b.charge, b.mass,
+                                      self.geom, self.normalized_units)
+                writer("beam", b.name, "diags/insitu",
+                       f"{b.name}.insitu_file_prefix").write_record(rec)
         if "insitu_field" in res and cfg.insitu_field_period \
                 and step % cfg.insitu_field_period == 0:
             rec = ins.field_record(step, self.time,

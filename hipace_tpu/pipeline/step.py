@@ -150,6 +150,9 @@ class SimConfig:
     # multigrid knobs (ref Hipace.H:246-248)
     MG_tolerance_rel: float = 1e-4
     MG_tolerance_abs: float = 0.0
+    # fields.poisson_solver: FFTDirichletDirect | FFTDirichletExpanded |
+    # FFTDirichletFast | MGDirichlet | FFTPeriodic (ref parameters.rst:306)
+    poisson_solver: str = "FFTDirichletFast"
     plasmas: tuple = ()
     beams: tuple = ()
     slip_cap: int = 64
@@ -435,13 +438,30 @@ def _row_sort(p: dict, geom: Geometry):
     return out
 
 
+def make_poisson_solver(name: str, g: Geometry, dtype):
+    """fields.poisson_solver selection (ref Fields.cpp:29-44)."""
+    from ..fields.poisson import (MGDirichletPoissonSolver,
+                                  PeriodicPoissonSolver)
+    if name in ("FFTDirichletDirect", "FFTDirichletExpanded"):
+        return DirichletPoissonSolver(g.nx, g.ny, g.dx, g.dy, dtype,
+                                      variant="expanded")
+    if name == "FFTDirichletFast":
+        return DirichletPoissonSolver(g.nx, g.ny, g.dx, g.dy, dtype,
+                                      variant="fast")
+    if name == "MGDirichlet":
+        return MGDirichletPoissonSolver(g.nx, g.ny, g.dx, g.dy, dtype)
+    if name == "FFTPeriodic":
+        return PeriodicPoissonSolver(g.nx, g.ny, g.dx, g.dy, dtype)
+    raise ValueError(f"unknown fields.poisson_solver {name}")
+
+
 def make_slice_step(cfg: SimConfig, dtype):
     """Build the per-slice function used by lax.scan."""
     g = cfg.geom
     pc = cfg.pc
     order = cfg.depos_order_xy
     banded = (cfg.banded_W, cfg.banded_K) if cfg.use_banded else None
-    solver = DirichletPoissonSolver(g.nx, g.ny, g.dx, g.dy, dtype)
+    solver = make_poisson_solver(cfg.poisson_solver, g, dtype)
     mg = MultiGrid(g.nx, g.ny, g.dx, g.dy, dtype) if cfg.explicit else None
     if cfg.open_boundary:
         from ..fields.open_boundary import OpenBoundary
@@ -712,9 +732,15 @@ def make_slice_step(cfg: SimConfig, dtype):
         combined = {k: jnp.concatenate([xs["beam_this"][k], slip[k]])
                     for k in bm.BEAM_ATTRS + bm.BEAM_INT_ATTRS + ("valid",)}
         if cfg.insitu_beam_period and cfg.beams:
-            # pre-push moments (ref Hipace.cpp:681: after SALAME, before push)
-            extra_ys["insitu_beam"] = ins.beam_slice_moments(
-                combined, pc, cfg.insitu_radius)
+            # pre-push per-beam moments (ref Hipace.cpp:681: after SALAME,
+            # before push; one record file per beam)
+            extra_ys["insitu_beam"] = jnp.stack([
+                ins.beam_slice_moments(
+                    dict(combined,
+                         valid=combined["valid"]
+                         & (combined["beam_id"] == ib)),
+                    pc, cfg.insitu_radius)
+                for ib in range(len(cfg.beams))])
         if cfg.beams:
             combined = bm.advance_all_beams(
                 combined, this, g, cfg.beams, pc, dt, min_z, order=order,

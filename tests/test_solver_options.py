@@ -1,0 +1,99 @@
+"""fields.poisson_solver variants and the plasma density table."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from hipace_tpu.parser import Inputs
+from hipace_tpu.pipeline.simulation import Simulation
+
+
+def test_fast_dst_matches_expanded():
+    from hipace_tpu.ops.dst import dst1, dst1_fast, dst1_2d, dst1_2d_fast
+    rng = np.random.default_rng(3)
+    for n in (15, 31, 127):
+        x = jnp.asarray(rng.standard_normal((4, n)))
+        np.testing.assert_allclose(np.asarray(dst1_fast(x)),
+                                   np.asarray(dst1(x)), atol=1e-12)
+    x2 = jnp.asarray(rng.standard_normal((2, 31, 15)))
+    np.testing.assert_allclose(np.asarray(dst1_2d_fast(x2)),
+                               np.asarray(dst1_2d(x2)), atol=1e-12)
+
+
+def test_poisson_solver_variants_agree():
+    """Fast / Expanded / MGDirichlet must solve the same Dirichlet problem."""
+    from hipace_tpu.fields.poisson import (DirichletPoissonSolver,
+                                           MGDirichletPoissonSolver)
+    nx = ny = 63
+    dx, dy = 0.11, 0.13
+    rng = np.random.default_rng(5)
+    rhs = jnp.asarray(rng.standard_normal((2, ny, nx)))
+    a = DirichletPoissonSolver(nx, ny, dx, dy, jnp.float64,
+                               variant="expanded").solve(rhs)
+    b = DirichletPoissonSolver(nx, ny, dx, dy, jnp.float64,
+                               variant="fast").solve(rhs)
+    c = MGDirichletPoissonSolver(nx, ny, dx, dy, jnp.float64).solve(rhs)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-12)
+    scale = np.abs(np.asarray(a)).max()
+    assert np.abs(np.asarray(c) - np.asarray(a)).max() / scale < 1e-6
+
+
+DECK = """
+hipace.normalized_units = 1
+amr.n_cell = 31 31 16
+max_step = 0
+hipace.dt = 1.0
+geometry.prob_lo = -8. -8. -6.
+geometry.prob_hi =  8.  8.  6.
+beams.names = beam
+beam.injection_type = fixed_weight
+beam.num_particles = 2000
+beam.density = 1.
+beam.u_mean = 0. 0. 1000.
+beam.u_std = 0. 0. 0.
+beam.position_mean = 0. 0. 0.
+beam.position_std = 0.3 0.3 1.41
+plasmas.names = elec
+elec.density(x,y,z) = 1.
+elec.ppc = 1 1
+elec.element = electron
+diagnostic.output_period = 0
+diagnostic.field_data = Ez
+"""
+
+
+def test_poisson_solver_deck_option():
+    ref = None
+    for solver in ("FFTDirichletExpanded", "FFTDirichletFast", "MGDirichlet"):
+        inputs = Inputs(DECK, overrides=[f"fields.poisson_solver={solver}"])
+        sim = Simulation(inputs, verbose=0)
+        d = np.asarray(sim.run_step(0)["diag"])
+        if ref is None:
+            ref = d
+        else:
+            scale = np.abs(ref).max()
+            assert np.abs(d - ref).max() / scale < 1e-5, solver
+
+
+def test_density_table(tmp_path):
+    tf = tmp_path / "table.txt"
+    tf.write_text("# comment line\n"
+                  "4.0 1.0\n"
+                  "10.0 2.0\n"
+                  "20.0 0.5*4.\n")
+    inputs = Inputs(DECK, overrides=[
+        f"elec.density_table_file={tf}", "max_step=3", "hipace.dt=4.0"])
+    sim = Simulation(inputs, verbose=0)
+    assert sim.plasma_cfgs[0].density_table == (
+        (4.0, "1.0"), (10.0, "2.0"), (20.0, "0.5*4."))
+    seen = []
+    orig = sim._apply_density_table
+
+    def spy():
+        orig()
+        seen.append(sim.plasma_cfgs[0].density_expr)
+
+    sim._apply_density_table = spy
+    sim.evolve(write_output=False)
+    # t = 0, 4, 8, 12 -> c*t rounds up to 4, 4, 10, 20
+    assert seen == ["1.0", "1.0", "2.0", "0.5*4."]
