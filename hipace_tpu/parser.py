@@ -57,9 +57,19 @@ def _math_namespace(np_like):
         "ceil": np_like.ceil, "fmod": np_like.fmod, "pow": np_like.power,
         "min": np_like.minimum, "max": np_like.maximum,
         "heaviside": np_like.heaviside,
-        "where": np_like.where,
-        "if": np_like.where,  # amrex parser if(cond, a, b)
+        "where": np_like.where,  # also the target of if(cond, a, b)
     }
+
+
+
+_IF_RE = re.compile(r"\bif\s*\(")
+
+
+def _translate_expr(expr: str) -> str:
+    """AMReX parser syntax -> python: ^ -> **, &&/|| -> and/or, and the
+    keyword-colliding if(cond, a, b) -> where(cond, a, b)."""
+    expr = expr.replace("^", "**").replace("&&", " and ").replace("||", " or ")
+    return _IF_RE.sub("where(", expr)
 
 
 _FUNC_KEY_RE = re.compile(r"^([\w.]+)\(([\w,\s]*)\)$")
@@ -89,7 +99,28 @@ class Inputs:
     def _parse_text(self, text: str) -> None:
         # support line continuation with '\'
         text = text.replace("\\\n", " ")
-        for line in text.splitlines():
+        # multi-line quoted values (AMReX ParmParse style): a line whose
+        # value opens a double quote continues until the closing quote
+        lines = text.splitlines()
+        merged: list[str] = []
+        buf = ""
+        for line in lines:
+            if buf:
+                buf += " " + line
+                if line.count('"') % 2 == 1:
+                    merged.append(buf)
+                    buf = ""
+                continue
+            stripped = line.split("#", 1)[0]
+            if "=" in stripped:
+                val = stripped.split("=", 1)[1]
+                if val.count('"') % 2 == 1:
+                    buf = line
+                    continue
+            merged.append(line)
+        if buf:
+            merged.append(buf)
+        for line in merged:
             self._parse_line(line)
 
     def _parse_line(self, line: str) -> None:
@@ -135,11 +166,9 @@ class Inputs:
     # ------------------------------------------------------------------
     @staticmethod
     def _eval(expr: str, env: dict[str, Any], np_like=np):
-        expr = expr.replace("^", "**")
+        expr = _translate_expr(expr)
         ns = dict(env)
         ns.update(_math_namespace(np_like))
-        # amrex allows '!' for logical not; rarely used. Also '&&', '||'.
-        expr = expr.replace("&&", " and ").replace("||", " or ")
         return eval(expr, {"__builtins__": {}}, ns)  # noqa: S307 - restricted
 
     def _eval_scalar(self, expr: str):
@@ -229,7 +258,7 @@ class Inputs:
             args, expr = tuple(argnames), default
         else:
             return None
-        expr = expr.replace("^", "**").replace("&&", " and ").replace("||", " or ")
+        expr = _translate_expr(expr)
         consts = self.my_constants
 
         def fn(*vals):
@@ -255,7 +284,7 @@ class Inputs:
 def compile_function(expr: str, argnames, consts=()) -> Callable:
     """Compile a standalone expression to a jax-traceable callable, with
     `consts` as extra (name, value) pairs (e.g. a deck's my_constants)."""
-    expr = expr.replace("^", "**").replace("&&", " and ").replace("||", " or ")
+    expr = _translate_expr(expr)
     cdict = dict(_PREDEFINED_SI)
     cdict.update(dict(consts))
 
