@@ -42,6 +42,8 @@ class Simulation:
         self.geom = Geometry.from_inputs(inputs, depos_order)
 
         self.max_step = inputs.query("max_step", 0, int)
+        self.max_time = inputs.query("hipace.max_time", float("inf"))
+        self._has_last_step = False
         self.adt_cfg = adt.AdaptiveTimeStepConfig.from_inputs(inputs)
         if self.adt_cfg.enabled:
             self.dt = 0.0  # set after beam init from the initial moments
@@ -565,6 +567,14 @@ class Simulation:
                 self.dt = adt.calculate_from_density(
                     self.adt_cfg, self.plasma_cfgs, self.pc, self.time,
                     self.dt, self._min_uz_mq)
+            # adjust dt to land exactly on hipace.max_time; the step AT
+            # max_time runs once with dt = 0 (ref Hipace.cpp:424-435)
+            if self.time == self.max_time:
+                self._has_last_step = True
+                self.dt = 0.0
+            elif ((self.time + self.dt >= self.max_time > self.time)
+                  or (self.time + self.dt <= self.max_time < self.time)):
+                self.dt = self.max_time - self.time
             if self.verbose >= 1:
                 print(f"Rank 0 started step {step} at time {self.time}"
                       f" with dt {self.dt}")
@@ -577,6 +587,8 @@ class Simulation:
                 self._write_insitu(step, res)
             self.binned = res["binned"]
             self.time += self.dt
+            if self._has_last_step:
+                break
             if self.adt_cfg.enabled and self.beam_cfgs:
                 mom = {k: float(v) for k, v in res["beam_moments"].items()}
                 mom["min_uz"] = float(res["min_uz"])
@@ -613,11 +625,12 @@ class Simulation:
             self._step_fn = jax.jit(partial(self._time_step))
 
     def _period_hit(self, period: int, step: int) -> bool:
+        last = (step == self.max_step) or self._has_last_step
         if period < 0:
-            return step == self.max_step
+            return last
         if period == 0:
             return False
-        return (step % period == 0) or step == self.max_step
+        return (step % period == 0) or last
 
     def _do_output(self, step: int) -> bool:
         return (any(self._period_hit(dg.period, step) for dg in self.diags)

@@ -33,6 +33,34 @@ def test_pwfa_deck(tmp_path):
     assert np.abs(ez).max() > 0
 
 
+def test_max_time(tmp_path):
+    """hipace.max_time clamps dt to land exactly on the final time and runs
+    one dt=0 step there (ref Hipace.cpp:424-435)."""
+    inputs = Inputs.from_file(PWFA, overrides=[
+        "max_step=100", "amr.n_cell=16 16 16",
+        "driver.num_particles=500", "witness.num_particles=500",
+        "hipace.dt=1e-12", "hipace.nt_per_betatron=0",
+        "hipace.max_time=2.5e-12",
+        f"hipace.file_prefix={tmp_path}/mt",
+        "diagnostic.output_period=0"])
+    # disable adaptive dt by setting a fixed dt
+    inputs._raw["hipace.dt"] = "1e-12"
+    sim = Simulation(inputs, verbose=0)
+    steps = []
+    orig = sim.run_step
+
+    def spy(step):
+        steps.append((step, sim.time, sim.dt))
+        return orig(step)
+
+    sim.run_step = spy
+    sim.evolve(write_output=False)
+    # t: 0, 1e-12, 2e-12 (dt clamped to 0.5e-12), 2.5e-12 (dt=0), stop
+    assert len(steps) == 4
+    assert steps[2][2] == pytest.approx(0.5e-12)
+    assert steps[3][1] == pytest.approx(2.5e-12) and steps[3][2] == 0.0
+
+
 def test_lwfa_deck(tmp_path):
     inputs = Inputs.from_file(LWFA, overrides=[
         "max_step=1", "amr.n_cell=32 32 48",
