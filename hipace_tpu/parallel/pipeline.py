@@ -69,16 +69,22 @@ def _bin_block_into(buf: dict, counters: jnp.ndarray, block: dict, geom,
 
 def make_pipelined_evolve(cfg, dtype, n_devices: int, beam_cap: int,
                           axis_name: str = "pipe"):
-    """Build the shard_map'd multi-step evolve: device d runs step d."""
+    """Build the shard_map'd multi-step evolve: device d runs step d.
+
+    Laser streaming: the reference's MultiBuffer packs 4 laser components
+    per slice next to the beam (ref MultiBuffer.H:110-122). Here device d
+    consumes device d-1's per-slice (np1, n00) emission exactly two ticks
+    after it is sent, so a 2-stage shift register carried through the scan
+    replaces a full (nz, ...) receive buffer; only the ring wrap back to
+    device 0 (the laser state after n_dev steps) is binned into full
+    buffers.
+    """
     g = cfg.geom
     nz = g.nz
     slip_cap = cfg.slip_cap
     cap2 = beam_cap + slip_cap
-    assert not cfg.use_laser, \
-        "laser streaming through the device pipeline not wired up yet"
-    assert not cfg.salame_active, \
-        "SALAME runs at step 0 only; use the single-device path for it"
     slice_step = make_slice_step(cfg, dtype)
+    ctype = jnp.complex64 if dtype == jnp.float32 else jnp.complex128
 
     def init_plasmas(key, c_t):
         from ..particles import plasma as pl
@@ -89,11 +95,14 @@ def make_pipelined_evolve(cfg, dtype, n_devices: int, beam_cap: int,
                                          cfg.normalized_units))
         return states
 
-    def device_evolve(binned0, dt, key):
-        """Runs under shard_map; binned0: (1, nz, cap2) local shard."""
+    def device_evolve(binned0, dt, key, laser0):
+        """Runs under shard_map; binned0: (1, nz, cap2) local shard.
+        laser0: (1, nz_or_1, NY, NX) complex (n00, nm1) initial stream —
+        only device 0's shard is real (from_file restart); zeros otherwise."""
         d = jax.lax.axis_index(axis_name)
         is_dev0 = d == 0
         binned0 = {k: v[0] for k, v in binned0.items()}
+        laser0 = jax.tree.map(lambda v: v[0], laser0)
         time_d = d.astype(dtype) * dt
 
         plasmas = init_plasmas(key, cfg.pc.c * time_d)
@@ -123,6 +132,33 @@ def make_pipelined_evolve(cfg, dtype, n_devices: int, beam_cap: int,
             "step": d,
             "recv": recv_buf, "counters": counters,
         }
+        merge_keys = ["fields", "plasma", "slip", "min_uz", "beam_moments"]
+        if cfg.ionization_pairs or cfg.collisions:
+            # per-device RNG stream (the serial driver splits a fresh sub-key
+            # per step; here the host pre-splits one per device)
+            _, sub = jax.random.split(key)
+            carry0["key"] = sub
+            merge_keys.append("key")
+        if cfg.salame_active:
+            # SALAME runs at step 0 only (ref Hipace.cpp:673-678), i.e. on
+            # device 0; slice_step's step==0 gate handles the rest
+            from ..pipeline.salame import empty_salame_state
+            carry0["salame"] = empty_salame_state(g, dtype)
+            merge_keys.append("salame")
+        if cfg.use_laser:
+            from ..fields.laser import laser_empty_state, initial_chi
+            carry0["laser"] = laser_empty_state(g, dtype)
+            carry0["chi_initial"] = initial_chi(
+                cfg.laser, cfg.plasmas, g, cfg.pc, cfg.pc.c * time_d, dtype)
+            merge_keys.append("laser")
+            zsl = jnp.zeros(g.slice_shape, ctype)
+            # 2-tick delay line of received (np1, n00) laser slices
+            carry0["lsr1"] = {"np1": zsl, "n00": zsl}
+            carry0["lsr2"] = {"np1": zsl, "n00": zsl}
+            # ring-wrap accumulation: the laser stream after n_dev steps
+            carry0["laser_out"] = {
+                "n00": jnp.zeros((nz,) + g.slice_shape, ctype),
+                "nm1": jnp.zeros((nz,) + g.slice_shape, ctype)}
 
         # stage d lags stage d-1 by TWO slices: processing slice i needs
         # the upstream step's slice i-1 output (the reference's
@@ -161,19 +197,37 @@ def make_pipelined_evolve(cfg, dtype, n_devices: int, beam_cap: int,
 
             xs = {"islice": i_local, "beam_this": beam_this,
                   "beam_next": beam_next}
-            sub_carry = {k: carry[k] for k in
-                         ("fields", "plasma", "slip", "dt", "time", "min_uz",
-                          "beam_moments", "step")}
+            sub_keys = ["fields", "plasma", "slip", "dt", "time", "min_uz",
+                        "beam_moments", "step"]
+            if cfg.use_laser:
+                # device 0 reads the initial stream (from_file restart or
+                # zeros with the analytic step-0 init); others, the 2-tick
+                # delayed upstream emission
+                il = jnp.minimum(i_local, laser0["n00"].shape[0] - 1)
+                xs["laser_n00"] = jnp.where(
+                    is_dev0,
+                    jax.lax.dynamic_index_in_dim(laser0["n00"], il, 0,
+                                                 keepdims=False),
+                    carry["lsr2"]["np1"])
+                xs["laser_nm1"] = jnp.where(
+                    is_dev0,
+                    jax.lax.dynamic_index_in_dim(laser0["nm1"], il, 0,
+                                                 keepdims=False),
+                    carry["lsr2"]["n00"])
+                sub_keys += ["laser", "chi_initial"]
+            if "key" in carry:
+                sub_keys.append("key")
+            if "salame" in carry:
+                sub_keys.append("salame")
+            sub_carry = {k: carry[k] for k in sub_keys}
             new_sub, ys = slice_step(sub_carry, xs)
 
             # inactive devices keep their state unchanged
             def sel(new, old):
                 return jax.tree.map(
                     lambda a, b: jnp.where(active, a, b), new, old)
-            merged = sel({k: new_sub[k] for k in ("fields", "plasma", "slip",
-                                                  "min_uz", "beam_moments")},
-                         {k: carry[k] for k in ("fields", "plasma", "slip",
-                                                "min_uz", "beam_moments")})
+            merged = sel({k: new_sub[k] for k in merge_keys},
+                         {k: carry[k] for k in merge_keys})
 
             emit = dict(ys["beam_out"])
             emit["valid"] = emit["valid"] & active
@@ -186,6 +240,30 @@ def make_pipelined_evolve(cfg, dtype, n_devices: int, beam_cap: int,
                                              received, g, cap2)
 
             carry = dict(carry, recv=recv, counters=counters, **merged)
+            if cfg.use_laser:
+                lrecv = {
+                    "np1": jax.lax.ppermute(ys["laser_np1"], axis_name, perm),
+                    "n00": jax.lax.ppermute(ys["laser_n00"], axis_name, perm),
+                }
+                # the slice index the ring sender just processed; the sender
+                # of device d is (d-1) mod n — for device 0 that wraps to
+                # device n-1 (the final time step, whose stream is the
+                # laser state this function returns)
+                d_prev = (d - 1) % n_devices
+                rel_prev = t - 2 * d_prev
+                sender_active = (rel_prev >= 0) & (rel_prev < nz)
+                i_prev = jnp.clip(nz - 1 - rel_prev, 0, nz - 1)
+                lout = carry["laser_out"]
+                upd_n00 = jax.lax.dynamic_update_index_in_dim(
+                    lout["n00"], lrecv["np1"], i_prev, 0)
+                upd_nm1 = jax.lax.dynamic_update_index_in_dim(
+                    lout["nm1"], lrecv["n00"], i_prev, 0)
+                lout = {
+                    "n00": jnp.where(sender_active, upd_n00, lout["n00"]),
+                    "nm1": jnp.where(sender_active, upd_nm1, lout["nm1"]),
+                }
+                carry = dict(carry, lsr2=carry["lsr1"], lsr1=lrecv,
+                             laser_out=lout)
             return carry, None
 
         carry, _ = jax.lax.scan(tick, carry0, jnp.arange(n_ticks))
@@ -198,17 +276,24 @@ def make_pipelined_evolve(cfg, dtype, n_devices: int, beam_cap: int,
                                          slip_blk, g, cap2)
 
         out = {k: v[None] for k, v in recv.items()}
-        return out, carry["min_uz"][None]
+        if cfg.use_laser:
+            laser_out = {k: v[None] for k, v in carry["laser_out"].items()}
+        else:
+            laser_out = {"n00": jnp.zeros((1, 1), ctype),
+                         "nm1": jnp.zeros((1, 1), ctype)}
+        return out, carry["min_uz"][None], laser_out
 
     return device_evolve
 
 
 def pipelined_evolve(cfg, dtype, binned, dt, key, devices=None,
-                     axis_name: str = "pipe"):
+                     axis_name: str = "pipe", laser_stream=None):
     """Run n_devices time steps, one per device, with slice streaming.
 
-    binned: the (nz, cap) per-slice beam from bm.bin_beam. Returns the beam
-    binned after n_devices steps (from device 0's receive buffer).
+    binned: the (nz, cap) per-slice beam from bm.bin_beam. laser_stream:
+    optional (n00, nm1) complex (nz, NY, NX) stacks (from_file restart).
+    Returns (beam binned after n_devices steps, min_uz, laser_stream after
+    n_devices steps or None).
     """
     devices = devices if devices is not None else jax.devices()
     n_dev = len(devices)
@@ -216,6 +301,7 @@ def pipelined_evolve(cfg, dtype, binned, dt, key, devices=None,
     nz = cfg.geom.nz
     cap = binned["x"].shape[1]
     cap2 = cap + cfg.slip_cap
+    ctype = jnp.complex64 if dtype == jnp.float32 else jnp.complex128
 
     # pad rows to cap2 and replicate-structure to (n_dev, nz, cap2):
     # only device 0's shard carries the real beam
@@ -228,12 +314,30 @@ def pipelined_evolve(cfg, dtype, binned, dt, key, devices=None,
             [row[None], jnp.zeros((n_dev - 1,) + row.shape, v.dtype)], axis=0) \
             if n_dev > 1 else row[None]
 
+    # initial laser stream: only device 0's shard is real
+    if cfg.use_laser and laser_stream is not None:
+        l_nz = nz
+        l0 = {"n00": laser_stream[0], "nm1": laser_stream[1]}
+    else:
+        l_nz = 1
+        z = jnp.zeros((1,) + (cfg.geom.slice_shape if cfg.use_laser
+                              else (1, 1)), ctype)
+        l0 = {"n00": z, "nm1": z}
+    laser0 = {k: jnp.concatenate(
+        [v[None], jnp.zeros((n_dev - 1,) + v.shape, ctype)], axis=0)
+        if n_dev > 1 else v[None] for k, v in l0.items()}
+
     fn = make_pipelined_evolve(cfg, dtype, n_dev, cap, axis_name)
     shard = jax.shard_map(
         fn, mesh=mesh,
-        in_specs=({k: P(axis_name) for k in _STREAM_KEYS}, P(), P()),
-        out_specs=({k: P(axis_name) for k in _STREAM_KEYS}, P(axis_name)),
+        in_specs=({k: P(axis_name) for k in _STREAM_KEYS}, P(), P(),
+                  {"n00": P(axis_name), "nm1": P(axis_name)}),
+        out_specs=({k: P(axis_name) for k in _STREAM_KEYS}, P(axis_name),
+                   {"n00": P(axis_name), "nm1": P(axis_name)}),
         check_vma=False)
-    out, min_uz = jax.jit(shard)(full, jnp.asarray(dt, dtype), key)
+    out, min_uz, laser_out = jax.jit(shard)(
+        full, jnp.asarray(dt, dtype), key, laser0)
     final = {k: v[0] for k, v in out.items()}
-    return final, min_uz
+    new_stream = ((laser_out["n00"][0], laser_out["nm1"][0])
+                  if cfg.use_laser else None)
+    return final, min_uz, new_stream

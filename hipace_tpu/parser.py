@@ -281,17 +281,23 @@ class Inputs:
         return PrefixView(self, pre)
 
 
-def compile_function(expr: str, argnames, consts=()) -> Callable:
+def compile_function(expr: str, argnames, consts=(),
+                     use_numpy: bool = False) -> Callable:
     """Compile a standalone expression to a jax-traceable callable, with
-    `consts` as extra (name, value) pairs (e.g. a deck's my_constants)."""
+    `consts` as extra (name, value) pairs (e.g. a deck's my_constants).
+    use_numpy evaluates with numpy instead of jnp — for static, trace-time
+    evaluation (e.g. the MR fine-patch mask) that must stay concrete."""
     expr = _translate_expr(expr)
     cdict = dict(_PREDEFINED_SI)
     cdict.update(dict(consts))
 
     def fn(*vals):
-        import jax.numpy as jnp
+        if use_numpy:
+            import numpy as np_like
+        else:
+            import jax.numpy as np_like
         ns = dict(cdict)
-        ns.update(_math_namespace(jnp))
+        ns.update(_math_namespace(np_like))
         for name, v in zip(argnames, vals):
             ns[name] = v
         return eval(expr, {"__builtins__": {"__import__": __import__}}, ns)  # noqa: S307

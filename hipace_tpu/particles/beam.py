@@ -160,7 +160,7 @@ class BeamConfig:
             zmax=pp.query("zmax", float("inf")),
             radius=pp.query("radius", float("inf")),
             position_mean=(str(pos_mean[0]), str(pos_mean[1]),
-                           float(Inputs(f"v = {pos_mean[2]}").get("v"))
+                           float(inputs._eval_scalar(str(pos_mean[2])))
                            if injection != "fixed_ppc" else 0.0),
             position_std=position_std
             if injection != "fixed_weight_pdf" else (0.0, 0.0, 0.0),
@@ -537,7 +537,7 @@ def unbin_beam(binned: dict) -> dict:
 # ----------------------------------------------------------------------
 def advance_all_beams(bp: dict, fields: dict, geom: Geometry, cfgs,
                       pc: PhysConst, dt, min_z, order: int = 2, time=0.0,
-                      background_density_SI: float = 0.0):
+                      background_density_SI: float = 0.0, fine_levels=()):
     """Push all beam species in the merged array, one masked pass per
     species (static per-species parameters)."""
     out = bp
@@ -546,7 +546,8 @@ def advance_all_beams(bp: dict, fields: dict, geom: Geometry, cfgs,
         out = advance_beam_slice(
             out, fields, geom, cfg, pc, dt, min_z, order=order,
             external_fields=cfg.external_field_fns(), time=time,
-            background_density_SI=background_density_SI, species_mask=mask)
+            background_density_SI=background_density_SI, species_mask=mask,
+            fine_levels=fine_levels)
     return out
 
 
@@ -554,7 +555,7 @@ def advance_beam_slice(bp: dict, fields: dict, geom: Geometry,
                        cfg: BeamConfig, pc: PhysConst, dt, min_z,
                        order: int = 2, external_fields=None,
                        time=0.0, background_density_SI: float = 0.0,
-                       species_mask=None):
+                       species_mask=None, fine_levels=()):
     """Push beam particles of one slice forward in time by dt
     (ref BeamParticleAdvance.cpp:19-336). Subcycled leapfrog-like push with
     optional external fields, TBMT spin precession (:218-241) and Tamburini
@@ -614,6 +615,21 @@ def advance_beam_slice(bp: dict, fields: dict, geom: Geometry,
         exmby, eypbx, ez, bx, by, bz = gather_main_fields(
             xh, yh, fields["Psi"], fields["Ez"], fields["Bx"], fields["By"],
             fields["Bz"], geom, order)
+        # MR: gather from the finest level containing the particle
+        # (ref BeamParticleAdvance.cpp:165-186); `act` gates levels whose
+        # zeta range does not cover this slice
+        for ff, fg, act in fine_levels:
+            from ..fields.mr import in_level_bounds
+            e1, e2, e3, b1, b2, b3 = gather_main_fields(
+                xh, yh, ff["Psi"], ff["Ez"], ff["Bx"], ff["By"],
+                ff["Bz"], fg, order)
+            inb = in_level_bounds(xh, yh, fg) & act
+            exmby = jnp.where(inb, e1, exmby)
+            eypbx = jnp.where(inb, e2, eypbx)
+            ez = jnp.where(inb, e3, ez)
+            bx = jnp.where(inb, b1, bx)
+            by = jnp.where(inb, b2, by)
+            bz = jnp.where(inb, b3, bz)
         if external_fields is not None:
             exmby, eypbx, ez, bx, by, bz = external_fields(
                 xh, yh, z, time, clight, exmby, eypbx, ez, bx, by, bz)
@@ -735,7 +751,8 @@ def advance_beam_slice(bp: dict, fields: dict, geom: Geometry,
 def deposit_beam_slice(bp: dict, comp_map: dict, fields: dict,
                        geom: Geometry, cfg, pc: PhysConst,
                        order: int, normalized_units: bool,
-                       skip_slipped_min_z=None, only_salame: bool = False):
+                       skip_slipped_min_z=None, only_salame: bool = False,
+                       extra_mask=None, geom0: Geometry | None = None):
     """Deposit beam currents (ref BeamDepositCurrent.cpp:60-200).
 
     comp_map maps quantity -> destination field name, e.g.
@@ -747,11 +764,17 @@ def deposit_beam_slice(bp: dict, comp_map: dict, fields: dict,
     """
     clight_inv = 1.0 / pc.c
     clight_sq = 1.0 / (pc.c * pc.c)
-    invvol = 1.0 if normalized_units else 1.0 / (geom.dx * geom.dy * geom.dz)
+    # normalized units on a fine MR level: (lev0 area)/(level area)
+    # (ref BeamDepositCurrent.cpp:72-81)
+    g0 = geom0 if geom0 is not None else geom
+    invvol = (g0.dx * g0.dy / (geom.dx * geom.dy) if normalized_units
+              else 1.0 / (geom.dx * geom.dy * geom.dz))
 
     ux, uy, uz = bp["ux"], bp["uy"], bp["uz"]
     gam_inv = 1.0 / jnp.sqrt(1.0 + (ux * ux + uy * uy + uz * uz) * clight_sq)
     mask = bp["valid"]
+    if extra_mask is not None:
+        mask = mask & extra_mask
     if skip_slipped_min_z is not None:
         mask = mask & (bp["z"] >= skip_slipped_min_z)
     if isinstance(cfg, (tuple, list)):

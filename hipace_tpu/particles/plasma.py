@@ -60,6 +60,13 @@ class PlasmaConfig:
     # the smallest position >= c*t is used each step
     # (ref <plasma name>.density_table_file, parameters.rst:405-411)
     density_table: tuple = ()
+    # fine plasma patch for mesh refinement (ref PlasmaParticleContainer.H:
+    # 166-171, Init.cpp:95-160): fine_ppc inside fine_patch(x,y) > 0, with
+    # positions morphing from the coarse to the fine layout over
+    # fine_transition_cells cells (ParticleUtil.H:66-104)
+    fine_patch_expr: str = ""
+    fine_ppc: tuple = (0, 0)
+    fine_transition_cells: int = 5
 
     @classmethod
     def from_inputs(cls, inputs: Inputs, name: str, pc: PhysConst,
@@ -133,6 +140,11 @@ class PlasmaConfig:
             element=element,
             ionization_product=pp.query("ionization_product", "", str),
             density_table=tuple(table),
+            fine_patch_expr=(pp.get_function("fine_patch", ("x", "y")).expr
+                             if pp.get_function("fine_patch", ("x", "y"))
+                             is not None else ""),
+            fine_ppc=tuple(pp.query_list("fine_ppc", [0, 0], int)),
+            fine_transition_cells=pp.query("fine_transition_cells", 5, int),
         )
 
     def density_fn(self) -> Callable:
@@ -155,34 +167,46 @@ def init_plasma(cfg: PlasmaConfig, geom: Geometry, key, dtype,
     nppc = px * py
     dx, dy = geom.dx, geom.dy
 
-    ix = jnp.arange(nx)
-    iy = jnp.arange(ny)
-    sx = (jnp.arange(px) + 0.5) / px
-    sy = (jnp.arange(py) + 0.5) / py
-    # ordering: ppc slowest (like the reference: particles in the same cell
-    # are far apart in memory, Init.cpp:189-192), then y, then x fastest
-    X = geom.prob_lo[0] + (ix[None, None, None, :] + sx[:, None, None, None]) * dx
-    Y = geom.prob_lo[1] + (iy[None, None, :, None] + sy[None, :, None, None]) * dy
-    x = jnp.broadcast_to(X, (px, py, ny, nx)).reshape(-1).astype(dtype)
-    y = jnp.broadcast_to(Y, (px, py, ny, nx)).reshape(-1).astype(dtype)
-    n = x.size
+    use_fine = bool(cfg.fine_patch_expr) and cfg.fine_ppc[0] * cfg.fine_ppc[1] > 0
+    if use_fine:
+        x, y, init_mask, w_scale = _fine_patch_positions(cfg, geom, dtype,
+                                                         normalized_units)
+        n = x.size
+    else:
+        ix = jnp.arange(nx)
+        iy = jnp.arange(ny)
+        sx = (jnp.arange(px) + 0.5) / px
+        sy = (jnp.arange(py) + 0.5) / py
+        # ordering: ppc slowest (like the reference: particles in the same
+        # cell are far apart in memory, Init.cpp:189-192), then y, then x
+        # fastest
+        X = geom.prob_lo[0] + (ix[None, None, None, :]
+                               + sx[:, None, None, None]) * dx
+        Y = geom.prob_lo[1] + (iy[None, None, :, None]
+                               + sy[None, :, None, None]) * dy
+        x = jnp.broadcast_to(X, (px, py, ny, nx)).reshape(-1).astype(dtype)
+        y = jnp.broadcast_to(Y, (px, py, ny, nx)).reshape(-1).astype(dtype)
+        n = x.size
+        init_mask = jnp.ones((n,), bool)
+        # scale factor: 1/ppc in normalized units, cell volume/ppc in SI
+        # (ref PlasmaParticleContainerInit.cpp:40-45)
+        if nppc == 0:
+            scale = 0.0  # empty species (e.g. ionization product, ppc 0 0)
+        elif normalized_units:
+            scale = 1.0 / nppc
+        else:
+            scale = geom.dx * geom.dy * geom.dz / nppc
+        w_scale = jnp.full((n,), scale, dtype)
 
     dens_fn = cfg.density_fn()
     dens = jnp.asarray(dens_fn(x, y, jnp.full_like(x, c_t)), dtype=dtype)
     dens = jnp.broadcast_to(dens, x.shape)
     rsq = x * x + y * y
-    valid = ((dens > cfg.min_density)
+    valid = (init_mask
+             & (dens > cfg.min_density)
              & (rsq <= cfg.radius ** 2)
              & (rsq >= cfg.hollow_core_radius ** 2))
-    # scale factor: 1/ppc in normalized units, cell volume/ppc in SI
-    # (ref PlasmaParticleContainerInit.cpp:40-45)
-    if nppc == 0:
-        scale = 0.0  # empty species (e.g. ionization product with ppc 0 0)
-    elif normalized_units:
-        scale = 1.0 / nppc
-    else:
-        scale = geom.dx * geom.dy * geom.dz / nppc
-    w = jnp.where(valid, dens * scale, 0.0)
+    w = jnp.where(valid, dens * w_scale, 0.0)
 
     if any(s != 0.0 for s in cfg.u_std):
         kx, ky, kz = jax.random.split(key, 3)
@@ -213,6 +237,95 @@ def init_plasma(cfg: PlasmaConfig, geom: Geometry, key, dtype,
         "ux_half": u0, "uy_half": u1, "psi_half": psi,
         "ion_lev": ion_lev, "valid": valid,
     }
+
+
+def _fine_patch_positions(cfg: PlasmaConfig, geom: Geometry, dtype,
+                          normalized_units: bool):
+    """Particle positions for the MR fine plasma patch
+    (ref PlasmaParticleContainerInit.cpp:95-160, ParticleUtil.H:66-104).
+
+    Every cell allocates fine_ppc slots (static shape). Outside the patch +
+    transition only the first ppc slots initialize (coarse layout); inside
+    the transition the positions morph smoothly from the coarse-duplicated
+    layout to the fine layout with the smoothstep s = 1.5 t - 0.5 t^3.
+    Returns (x, y, init_mask, w_scale) flat arrays.
+    """
+    import numpy as np
+    from ..parser import compile_function
+
+    nx, ny = geom.nx, geom.ny
+    dx, dy = geom.dx, geom.dy
+    pxc, pyc = cfg.ppc
+    pxf, pyf = cfg.fine_ppc
+    n_coarse = pxc * pyc
+    n_fine = pxf * pyf
+    T = cfg.fine_transition_cells
+
+    # per-cell transition counter (static: patch geometry is static;
+    # use_numpy keeps the evaluation concrete at trace time)
+    fp = compile_function(cfg.fine_patch_expr, ("x", "y"), cfg.consts,
+                          use_numpy=True)
+    xc = geom.prob_lo[0] + (np.arange(nx) + 0.5) * dx
+    yc = geom.prob_lo[1] + (np.arange(ny) + 0.5) * dy
+    Xc, Yc = np.meshgrid(xc, yc)
+    inside = np.asarray(fp(Xc, Yc)) > 0
+    a = np.where(inside, T + 1, 0)
+    for _ in range(T):
+        b = a.copy()
+        b[:, 1:] = np.maximum(b[:, 1:], a[:, :-1] - 1)
+        b[:, :-1] = np.maximum(b[:, :-1], a[:, 1:] - 1)
+        b[1:, :] = np.maximum(b[1:, :], a[:-1, :] - 1)
+        b[:-1, :] = np.maximum(b[:-1, :], a[1:, :] - 1)
+        a = b
+
+    # slot layout mirrors the non-fine path: i_part slowest, then y, then x
+    i_part = np.arange(n_fine)
+    ixf = i_part % pxf
+    iyf = i_part // pxf
+    ixc = (ixf * pxc) // pxf
+    iyc = (iyf * pyc) // pyf
+    r_fine_x = (0.5 + ixf) / pxf
+    r_fine_y = (0.5 + iyf) / pyf
+    # coarse slot layout for i_part < n_coarse
+    r_coarse_x = (0.5 + (i_part % pxc)) / pxc
+    r_coarse_y = (0.5 + np.minimum(i_part // pxc, pyc - 1)) / pyc
+    # transition blend positions
+    r_dup_x = (0.5 + ixc) / pxc
+    r_dup_y = (0.5 + iyc) / pyc
+
+    A = a[None, :, :]                                   # (1, ny, nx)
+    s = A.astype(float) / (T + 1)
+    s = 1.5 * s - 0.5 * s ** 3
+    in_tr = A > 0                                        # in patch/transition
+    rx = np.where(in_tr,
+                  r_dup_x[:, None, None] * (1.0 - s)
+                  + r_fine_x[:, None, None] * s,
+                  r_coarse_x[:, None, None] + 0.0 * s)
+    ry = np.where(in_tr,
+                  r_dup_y[:, None, None] * (1.0 - s)
+                  + r_fine_y[:, None, None] * s,
+                  r_coarse_y[:, None, None] + 0.0 * s)
+    do_init = in_tr | (i_part[:, None, None] < n_coarse)
+
+    ixg = np.arange(nx)[None, None, :]
+    iyg = np.arange(ny)[None, :, None]
+    x = geom.prob_lo[0] + (ixg + rx) * dx
+    y = geom.prob_lo[1] + (iyg + ry) * dy
+    if normalized_units:
+        sc_c = 1.0 / n_coarse if n_coarse else 0.0
+        sc_f = 1.0 / n_fine
+    else:
+        vol = geom.dx * geom.dy * geom.dz
+        sc_c = vol / n_coarse if n_coarse else 0.0
+        sc_f = vol / n_fine
+    # weight scale: coarse outside patch+transition, fine inside
+    # (ref Init.cpp:290-292: arr_fine == 0 ? scale_fac_coarse : scale_fac_fine)
+    wsc = np.where(in_tr, sc_f, sc_c) + 0.0 * rx
+    shape = (n_fine, ny, nx)
+    return (jnp.asarray(np.broadcast_to(x, shape).reshape(-1), dtype),
+            jnp.asarray(np.broadcast_to(y, shape).reshape(-1), dtype),
+            jnp.asarray(np.broadcast_to(do_init, shape).reshape(-1)),
+            jnp.asarray(np.broadcast_to(wsc, shape).reshape(-1), dtype))
 
 
 # ----------------------------------------------------------------------
@@ -426,13 +539,20 @@ def _banded_main_gather(xp, yp, valid, fields, geom, order, banded,
 
 def advance_plasma(p: dict, fields: dict, geom: Geometry, cfg: PlasmaConfig,
                    pc: PhysConst, temp_slice: bool, order: int = 2,
-                   use_laser: bool = False, banded=None, lost_out=None):
+                   use_laser: bool = False, banded=None, lost_out=None,
+                   fine_levels=(), tag=None):
     """Advance plasma particles one zeta slice
     (ref PlasmaParticleAdvance.cpp:29-305, leapfrog path).
 
     fields: dict with padded slice arrays Psi, Ez, Bx, By, Bz (+ aabs).
     banded: None (XLA gather) or (W, K) to use the banded MXU gather on
     row-sorted particles. Returns the updated particle dict.
+
+    fine_levels: tuple of (fields_dict, Geometry) for MR levels 1..N; tag is
+    the per-particle level assignment from tag_by_level. A tagged particle
+    gathers from its level; if a subcycle moves it outside that level's
+    bounds the previous gathered values are reused (ref
+    PlasmaParticleAdvance.cpp:94,114-135).
     """
     clight = pc.c
     clight_inv = 1.0 / pc.c
@@ -455,6 +575,7 @@ def advance_plasma(p: dict, fields: dict, geom: Geometry, cfg: PlasmaConfig,
         q_m_c_p = q_m_c
         laser_norm_p = laser_norm
 
+    stale = None
     for _ in range(cfg.n_subcycles):
         if banded is not None:
             exmby, eypbx, ez, bx, by, bz = _banded_main_gather(
@@ -475,6 +596,30 @@ def advance_plasma(p: dict, fields: dict, geom: Geometry, cfg: PlasmaConfig,
         else:
             a2 = a2dx = a2dy = jnp.zeros_like(x)
         fvals = (exmby, eypbx, ez, bx_c, by_c, bz, a2, a2dx, a2dy)
+        if fine_levels:
+            # MR: tagged particles gather from their fine level; when out of
+            # its bounds mid-subcycle keep the previous (stale) values
+            from ..fields.mr import in_level_bounds
+            if stale is None:
+                stale = fvals
+            for li, (ff, fg) in enumerate(fine_levels):
+                ex1, ey1, ez1, bx1, by1, bz1 = gather_main_fields(
+                    xprev, yprev, ff["Psi"], ff["Ez"], ff["Bx"], ff["By"],
+                    ff["Bz"], fg, order)
+                fine = [ex1, ey1, ez1, bx1 * clight, by1 * clight, bz1,
+                        a2, a2dx, a2dy]
+                if use_laser:
+                    b2, b2dx, b2dy = gather_laser_aabs(
+                        xprev, yprev, ff["aabs"], fg, order)
+                    fine[6] = b2 * 0.5 * laser_norm_p
+                    fine[7] = b2dx * 0.25 * clight * laser_norm_p
+                    fine[8] = b2dy * 0.25 * clight * laser_norm_p
+                inb = in_level_bounds(xprev, yprev, fg)
+                sel = tag == (li + 1)
+                fvals = tuple(
+                    jnp.where(sel, jnp.where(inb, fv, sv), cv)
+                    for fv, sv, cv in zip(fine, stale, fvals))
+            stale = fvals
 
         # full momentum push t-1/2 -> t+1/2 in 4 substeps
         nsub = 4
@@ -510,7 +655,8 @@ def deposit_plasma(p: dict, stack_comps: list[str], fields: dict,
                    geom: Geometry, cfg: PlasmaConfig, pc: PhysConst,
                    order: int, normalized_units: bool,
                    use_laser: bool = False, which: str = "This",
-                   flip_charge: bool = False, banded=None, lost_out=None):
+                   flip_charge: bool = False, banded=None, lost_out=None,
+                   extra_mask=None, geom0: Geometry | None = None):
     """Deposit plasma currents/densities (ref PlasmaDepositCurrent.cpp:22-257).
 
     stack_comps: subset of ["jx","jy","jz","rho","chi","rhomjz"] to deposit.
@@ -518,11 +664,18 @@ def deposit_plasma(p: dict, stack_comps: list[str], fields: dict,
     per-particle QSA-violation mask applied to the weights.
     banded: None (XLA scatter) or (W, K) for the banded MXU deposit on
     row-sorted particles.
+    extra_mask: additional per-particle deposit gate (MR: deposit on a fine
+    level only particles tagged >= that level, ref
+    PlasmaDepositCurrent.cpp:130); it does NOT invalidate particles.
     """
     charge = -cfg.charge if flip_charge else cfg.charge
     clight = pc.c
     clight_inv = 1.0 / pc.c
-    invvol = 1.0 if normalized_units else 1.0 / (geom.dx * geom.dy * geom.dz)
+    # normalized units: (lev0 cell area) / (this level's cell area), so a
+    # fine level sees the same density (ref PlasmaDepositCurrent.cpp:71-73)
+    g0 = geom0 if geom0 is not None else geom
+    invvol = (g0.dx * g0.dy / (geom.dx * geom.dy) if normalized_units
+              else 1.0 / (geom.dx * geom.dy * geom.dz))
 
     x, y = p["x"], p["y"]
     psi_inv = 1.0 / p["psi"]
@@ -554,6 +707,8 @@ def deposit_plasma(p: dict, stack_comps: list[str], fields: dict,
            | (psi_inv < 0.0))
     wmask = jnp.where(p["valid"] & ~bad, 1.0, 0.0).astype(x.dtype)
     q_invvol = q_invvol * wmask
+    if extra_mask is not None:
+        q_invvol = q_invvol * extra_mask.astype(x.dtype)
 
     values = {
         "jx": q_invvol * vx_c,
@@ -779,7 +934,8 @@ def combine_explicit_sxsy(fields: dict, dgrids, geom: Geometry,
 def explicit_deposition(p: dict, fields: dict, geom: Geometry,
                         cfg: PlasmaConfig, pc: PhysConst, order: int,
                         deriv_type: int, normalized_units: bool,
-                        use_laser: bool = False, banded=None, lost_out=None):
+                        use_laser: bool = False, banded=None, lost_out=None,
+                        extra_mask=None, geom0: Geometry | None = None):
     """Deposit Sx, Sy source terms for the explicit Bx/By solve
     (WAND-PIC algorithm; ref ExplicitDeposition.cpp:20-263).
 
@@ -793,7 +949,9 @@ def explicit_deposition(p: dict, fields: dict, geom: Geometry,
     """
     clight = pc.c
     clight_inv = 1.0 / pc.c
-    invvol = 1.0 if normalized_units else 1.0 / (geom.dx * geom.dy * geom.dz)
+    g0 = geom0 if geom0 is not None else geom
+    invvol = (g0.dx * g0.dy / (geom.dx * geom.dy) if normalized_units
+              else 1.0 / (geom.dx * geom.dy * geom.dz))
     laser_fac = (pc.m_e / pc.q_e) ** 2
 
     x, y = p["x"], p["y"]
@@ -808,6 +966,8 @@ def explicit_deposition(p: dict, fields: dict, geom: Geometry,
         q_invvol_mu0 = q_invvol_mu0 * ion
         q_m = q_m * ion
     wmask = jnp.where(p["valid"], p["w"], 0.0)
+    if extra_mask is not None:
+        wmask = jnp.where(extra_mask, wmask, 0.0)
     cd_mu0 = q_invvol_mu0 * wmask  # charge_density_mu0
 
     if use_laser:

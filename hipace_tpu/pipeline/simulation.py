@@ -40,6 +40,8 @@ class Simulation:
 
         depos_order = inputs.query("hipace.depos_order_xy", 2, int)
         self.geom = Geometry.from_inputs(inputs, depos_order)
+        from ..fields.mr import parse_mr_levels
+        self.mr_levels = parse_mr_levels(inputs, self.geom)
 
         self.max_step = inputs.query("max_step", 0, int)
         self.max_time = inputs.query("hipace.max_time", float("inf"))
@@ -70,6 +72,9 @@ class Simulation:
         self._spawn_extra = [0] * len(plasma_cfgs)
         for i, pcfg in enumerate(plasma_cfgs):
             if pcfg.can_ionize and pcfg.ionization_product:
+                if pcfg.fine_patch_expr:
+                    raise ValueError("fine_patch + ionization not supported "
+                                     "(spawn slots assume ppc-based counts)")
                 import dataclasses as _dc
                 adk = pl.adk_constants(pcfg, self.geom.dz,
                                        self.normalized_units, bg_si)
@@ -184,6 +189,7 @@ class Simulation:
             banded_K=inputs.query("hipace.banded_K", 4096, int),
             banded_sort_period=inputs.query("hipace.banded_sort_period",
                                             1, int),
+            mr_levels=self.mr_levels,
         )
         self._insitu_writers = {}
 
@@ -265,10 +271,15 @@ class Simulation:
 
             base_default = {"laser_diag": "laser"}.get(name, "level_0")
             base = q("base_geometry", base_default, str)
+            lev_idx = 0
             if base in ("level_1", "level_2"):
-                continue  # mesh refinement diags: not yet supported
+                lev_idx = int(base[-1])
+                if lev_idx > len(self.mr_levels):
+                    continue  # level not configured
             if base == "laser" and not use_laser:
                 continue
+            dgeom = (self.mr_levels[lev_idx - 1].geom if lev_idx > 0
+                     else self.geom)
             period = pp.query("output_period",
                               dd.query("output_period",
                                        self.output_period, int), int)
@@ -309,6 +320,22 @@ class Simulation:
                                 dd.query_list("patch_lo", [-inf] * 3), float)
             phi = pp.query_list("patch_hi",
                                 dd.query_list("patch_hi", [inf] * 3), float)
+            if lev_idx > 0:
+                # fine diag: transverse patch in the fine grid; z range in
+                # global slice indices, clipped to the level's zeta span
+                lv = self.mr_levels[lev_idx - 1]
+                pz = patch_range(plo[2], phi[2], g.prob_lo[2], g.dz, g.nz)
+                pz = (max(pz[0], lv.zeta_lo), min(pz[1], lv.zeta_hi))
+                diags.append(DiagConfig(
+                    name=name, base=base, diag_type=dtyp,
+                    comps=tuple(comps), coarsening=coars,
+                    include_ghosts=bool(ghosts),
+                    patch_x=patch_range(plo[0], phi[0], dgeom.prob_lo[0],
+                                        dgeom.dx, dgeom.nx),
+                    patch_y=patch_range(plo[1], phi[1], dgeom.prob_lo[1],
+                                        dgeom.dy, dgeom.ny),
+                    patch_z=pz, period=period))
+                continue
             diags.append(DiagConfig(
                 name=name, base=base, diag_type=dtyp, comps=tuple(comps),
                 coarsening=coars, include_ghosts=bool(ghosts),
@@ -362,8 +389,10 @@ class Simulation:
         """Banded MXU particle kernels: on by default for large plasmas.
 
         Disabled with ionization (product spawn slots are keyed to the parent
-        array position, which the per-slice row sort would remap)."""
+        array position, which the per-slice row sort would remap) and with
+        mesh refinement (per-level gathers not banded yet)."""
         default = (not self.ionization_pairs
+                   and not self.mr_levels
                    and self._total_plasma_n() >= 65536)
         on = inputs.query("hipace.use_banded", default, bool)
         if on and self.ionization_pairs:
@@ -442,6 +471,23 @@ class Simulation:
                     flip_charge=True)
                 rhomjz_ion = tmp["rhomjz"]
         fields = dict(fields, RhomJzIons={"rhomjz": rhomjz_ion})
+        # fine-level neutralizing background (tag by init position,
+        # ref Hipace.cpp:463-471)
+        if cfg.mr_levels:
+            from ..fields.mr import in_level_bounds
+            for i, lv in enumerate(cfg.mr_levels):
+                fion = fields[f"mr{i + 1}"]["RhomJzIons"]["rhomjz"]
+                for p, pcfg in zip(plasmas, self.plasma_cfgs):
+                    if pcfg.neutralize_background:
+                        tmp, _ = pl.deposit_plasma(
+                            p, ["rhomjz"], {"rhomjz": fion}, lv.geom, pcfg,
+                            self.pc, cfg.depos_order_xy,
+                            cfg.normalized_units, flip_charge=True,
+                            extra_mask=in_level_bounds(p["x"], p["y"],
+                                                       lv.geom), geom0=g)
+                        fion = tmp["rhomjz"]
+                fields[f"mr{i + 1}"] = dict(fields[f"mr{i + 1}"],
+                                            RhomJzIons={"rhomjz": fion})
 
         carry = {
             "fields": fields,
@@ -470,9 +516,15 @@ class Simulation:
                      if dg.diag_type == "xy_integrated"]
         if int_diags:
             from .step import diag_slice_shape
+
+            def _dgeom(dg):
+                if dg.base.startswith("level_") and dg.base != "level_0":
+                    return cfg.mr_levels[int(dg.base[-1]) - 1].geom
+                return g
+
             carry["diag_int"] = {
                 dg.name: jnp.zeros(
-                    diag_slice_shape(dg, g),
+                    diag_slice_shape(dg, _dgeom(dg)),
                     jnp.complex64 if "laserEnvelope" in dg.comps
                     and self.dtype == jnp.float32
                     else jnp.complex128 if "laserEnvelope" in dg.comps
@@ -701,6 +753,13 @@ class Simulation:
     def _diag_geometry(self, dg):
         """(spacing, offset) per written axis, reference layout z,y,x."""
         g = self.geom
+        if dg.base.startswith("level_") and dg.base != "level_0":
+            fg = self.mr_levels[int(dg.base[-1]) - 1].geom
+            cx, cy, cz = dg.coarsening
+            return ((g.dz * cz, fg.dy * cy, fg.dx * cx),
+                    (g.prob_lo[2] + dg.patch_z[0] * g.dz,
+                     fg.prob_lo[1] + dg.patch_y[0] * fg.dy,
+                     fg.prob_lo[0] + dg.patch_x[0] * fg.dx))
         cx, cy, cz = dg.coarsening
         sp_z = g.dz * cz
         off_z = g.prob_lo[2] + dg.patch_z[0] * g.dz

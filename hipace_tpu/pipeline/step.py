@@ -194,6 +194,9 @@ class SimConfig:
     # re-sort every N slices (drift between sorts consumes banded_W slack;
     # the lost counters catch a too-small W / too-large period)
     banded_sort_period: int = 1
+    # transverse mesh refinement levels (fields/mr.py MRLevel tuple,
+    # ref Hipace.cpp:327-374; amr.max_level + mr_lev<N>.* parameters)
+    mr_levels: tuple = ()
 
     @property
     def salame_active(self) -> bool:
@@ -218,12 +221,23 @@ def init_field_state(cfg: SimConfig, dtype) -> dict:
                                             else ()) + rho_ind
         if cfg.use_laser:
             this_comps = this_comps + ("aabs",)
-        return {
+        out = {
             "This": sl.make_field_set(this_comps, g, dtype),
             "Next": sl.make_field_set(("jx_beam", "jy_beam"), g, dtype),
             "Previous": sl.make_field_set(("jx_beam", "jy_beam"), g, dtype),
             "RhomJzIons": sl.make_field_set(("rhomjz",), g, dtype),
         }
+        # per-fine-level slice sets (ref Fields::AllocData per level)
+        for i, lv in enumerate(cfg.mr_levels):
+            out[f"mr{i + 1}"] = {
+                "This": sl.make_field_set(this_comps, lv.geom, dtype),
+                "Next": sl.make_field_set(("jx_beam", "jy_beam"), lv.geom,
+                                          dtype),
+                "Previous": sl.make_field_set(("jx_beam", "jy_beam"),
+                                              lv.geom, dtype),
+                "RhomJzIons": sl.make_field_set(("rhomjz",), lv.geom, dtype),
+            }
+        return out
     this_comps = THIS_COMPS_PC + (("rho",) if cfg.deposit_rho
                                   else ()) + rho_ind
     if cfg.use_laser:
@@ -274,10 +288,10 @@ def _solve_psi_ez_bz(f_this, cfg: SimConfig, solver, ob=None):
     return out
 
 
-def _init_sx_sy_with_beam(f, cfg: SimConfig):
+def _init_sx_sy_with_beam(f, cfg: SimConfig, g: Geometry | None = None):
     """Beam contribution to Sx/Sy via finite differences
     (ref Hipace.cpp:745-790)."""
-    g = cfg.geom
+    g = g if g is not None else cfg.geom
     mu0 = cfg.pc.mu0
     dz2_inv = 1.0 / (2.0 * g.dz)
     dx_jzb = sl.ddx_interior(f["This"]["jz_beam"], g)
@@ -463,6 +477,24 @@ def make_slice_step(cfg: SimConfig, dtype):
     banded = (cfg.banded_W, cfg.banded_K) if cfg.use_banded else None
     solver = make_poisson_solver(cfg.poisson_solver, g, dtype)
     mg = MultiGrid(g.nx, g.ny, g.dx, g.dy, dtype) if cfg.explicit else None
+    mr = cfg.mr_levels
+    if mr:
+        assert cfg.explicit, "mesh refinement requires the explicit solver"
+        assert not cfg.use_banded, \
+            "banded kernels not supported with mesh refinement yet"
+        assert not cfg.use_laser, \
+            "laser + mesh refinement not supported yet"
+        assert not cfg.salame_active, "SALAME + MR not supported yet"
+        from ..fields.mr import LevelCoupler, in_level_bounds
+        couplers, fine_solvers, fine_mgs = [], [], []
+        parent_g = g
+        for lv in mr:
+            couplers.append(LevelCoupler(parent_g, lv.geom, dtype))
+            fine_solvers.append(
+                make_poisson_solver(cfg.poisson_solver, lv.geom, dtype))
+            fine_mgs.append(MultiGrid(lv.geom.nx, lv.geom.ny, lv.geom.dx,
+                                      lv.geom.dy, dtype))
+            parent_g = lv.geom
     if cfg.open_boundary:
         from ..fields.open_boundary import OpenBoundary
         ob = OpenBoundary(g, dtype)
@@ -500,6 +532,58 @@ def make_slice_step(cfg: SimConfig, dtype):
         f = dict(f, This=this)
         if cfg.explicit:
             f["Next"] = {c: jnp.zeros_like(v) for c, v in f["Next"].items()}
+
+        # ---- MR: fine InitializeSlices (ref Fields.cpp:541-557) + flags
+        if mr:
+            actives = [(islice >= lv.zeta_lo) & (islice <= lv.zeta_hi)
+                       for lv in mr]
+            entries = [islice == lv.zeta_hi for lv in mr]
+            fine_f = []
+            for i, lv in enumerate(mr):
+                coup = couplers[i]
+                fl = {k: dict(v) for k, v in f[f"mr{i + 1}"].items()}
+                parent_this = this if i == 0 else fine_f[i - 1]["This"]
+                parent_prev = (f["Previous"] if i == 0
+                               else fine_f[i - 1]["Previous"])
+                ent = entries[i]
+                fth = fl["This"]
+                fpv = fl["Previous"]
+                # first slice of the level: interpolate the shifted beam
+                # currents from the parent; Bx/By restart from zero (the
+                # reference zeroes all slices at step start)
+                for c in ("jx_beam", "jy_beam"):
+                    fth[c] = jnp.where(ent, coup.up_full(parent_this[c]),
+                                       fth[c])
+                    fpv[c] = jnp.where(ent, coup.up_full(parent_prev[c]),
+                                       fpv[c])
+                fth["jx"] = jnp.where(ent, fth["jx_beam"], fth["jx"])
+                fth["jy"] = jnp.where(ent, fth["jy_beam"], fth["jy"])
+                for c in ("Bx", "By"):
+                    fth[c] = jnp.where(ent, jnp.zeros_like(fth[c]), fth[c])
+                for c in zero_comps:
+                    fth[c] = jnp.zeros_like(fth[c])
+                if cfg.deposit_rho:
+                    fth["rho"] = jnp.zeros_like(fth["rho"])
+                if cfg.deposit_rho_individual:
+                    for pcfg in cfg.plasmas:
+                        fth[f"rho_{pcfg.name}"] = jnp.zeros_like(
+                            fth[f"rho_{pcfg.name}"])
+                fl["Next"] = {c: jnp.zeros_like(v)
+                              for c, v in fl["Next"].items()}
+                fl["This"] = fth
+                fl["Previous"] = fpv
+                fine_f.append(fl)
+
+            # TagByLevel (ref PlasmaParticleContainer.cpp:220-259), gated by
+            # per-level z activity
+            def compute_tag(pp):
+                tg = jnp.zeros(pp["x"].shape, jnp.int32)
+                for i, lv in enumerate(mr):
+                    inb = in_level_bounds(pp["x"], pp["y"], lv.geom)
+                    tg = jnp.where(inb & actives[i], i + 1, tg)
+                return jnp.where(pp["valid"], tg, 0)
+
+            plasma_tags = [compute_tag(p) for p in plasmas]
 
         # ---- laser: assemble this slice's envelope state and write aabs
         # (ref Hipace.cpp:603 UpdateLaserAabs)
@@ -570,6 +654,37 @@ def make_slice_step(cfg: SimConfig, dtype):
                 xs["beam_this"], cmap, this, g, cfg.beams, pc,
                 order, cfg.normalized_units)
 
+        # ---- MR: fine-level deposits (deposit predicate tag >= lev,
+        # ref PlasmaDepositCurrent.cpp:130) + boundary compensation
+        if mr:
+            for i, lv in enumerate(mr):
+                coup = couplers[i]
+                fth = fine_f[i]["This"]
+                for p, pcfg, tg in zip(plasmas, cfg.plasmas, plasma_tags):
+                    comps = base_comps + (
+                        [f"rho_{pcfg.name}"] if cfg.deposit_rho_individual
+                        else [])
+                    fth, _ = pl.deposit_plasma(
+                        p, comps, fth, lv.geom, pcfg, pc, order,
+                        cfg.normalized_units, use_laser=False,
+                        extra_mask=(tg >= i + 1), geom0=g)
+                if cfg.beams:
+                    bmask = in_level_bounds(xs["beam_this"]["x"],
+                                            xs["beam_this"]["y"], lv.geom) \
+                        & actives[i]
+                    fth = bm.deposit_beam_slice(
+                        xs["beam_this"], {"jz": "jz_beam"}, fth, lv.geom,
+                        cfg.beams, pc, order, cfg.normalized_units,
+                        extra_mask=bmask, geom0=g)
+                # AddRhoIons on the fine level
+                fth = dict(fth)
+                fth["rhomjz"] = fth["rhomjz"] \
+                    + fine_f[i]["RhomJzIons"]["rhomjz"]
+                if cfg.deposit_rho:
+                    fth["rho"] = fth["rho"] \
+                        + fine_f[i]["RhomJzIons"]["rhomjz"]
+                fine_f[i]["This"] = fth
+
         # ---- AddRhoIons (ref Fields.cpp:606-615)
         this = dict(this)
         this["rhomjz"] = this["rhomjz"] + f["RhomJzIons"]["rhomjz"]
@@ -598,6 +713,43 @@ def make_slice_step(cfg: SimConfig, dtype):
         # ---- Psi/ExmBy/EypBx/Ez/Bz solve
         this = _solve_psi_ez_bz(this, cfg, solver, ob)
         f = dict(f, This=this)
+
+        # ---- MR: fine Psi/Ez/Bz solves with Dirichlet BCs interpolated
+        # from the parent solution (ref Fields.cpp:840-957 lev>0 path)
+        if mr:
+            G = g.nguards
+            for i, lv in enumerate(mr):
+                coup = couplers[i]
+                fg = lv.geom
+                fth = dict(fine_f[i]["This"])
+                parent = this if i == 0 else fine_f[i - 1]["This"]
+                # source edge compensation (ref Fields.cpp:862-877)
+                fth["rhomjz"] = coup.up_boundary(fth["rhomjz"],
+                                                 parent["rhomjz"], 0, -G + 1)
+                fth["jx"] = coup.up_boundary(fth["jx"], parent["jx"],
+                                             1, -G + 1)
+                fth["jy"] = coup.up_boundary(fth["jy"], parent["jy"],
+                                             1, -G + 1)
+                rhs_psi = -1.0 / pc.ep0 * sl.interior(fth["rhomjz"], fg)
+                rhs_ez = (sl.ddx_interior(fth["jx"], fg)
+                          + sl.ddy_interior(fth["jy"], fg)) / (pc.ep0 * pc.c)
+                rhs_bz = pc.mu0 * (sl.ddy_interior(fth["jx"], fg)
+                                   - sl.ddx_interior(fth["jy"], fg))
+                rhs_psi = coup.apply_bc(rhs_psi, parent["Psi"], 1.0, 1.0)
+                rhs_ez = coup.apply_bc(rhs_ez, parent["Ez"], 1.0, 1.0)
+                rhs_bz = coup.apply_bc(rhs_bz, parent["Bz"], 1.0, 1.0)
+                sol = fine_solvers[i].solve(
+                    jnp.stack([rhs_psi, rhs_ez, rhs_bz]))
+                fth["Psi"] = sl.set_interior(fth["Psi"], sol[0], fg)
+                fth["Ez"] = sl.set_interior(fth["Ez"], sol[1], fg)
+                fth["Bz"] = sl.set_interior(fth["Bz"], sol[2], fg)
+                # ghost fill from the parent solution (ref Fields.cpp:924-929)
+                for c in ("Psi", "Ez", "Bz"):
+                    fth[c] = coup.up_boundary(fth[c], parent[c], G, 0)
+                exmby_f, eypbx_f = sl.grad_neg_full(fth["Psi"], fg)
+                fth["ExmBy"] = exmby_f
+                fth["EypBx"] = eypbx_f
+                fine_f[i]["This"] = fth
 
         # ---- laser envelope advance (ref Hipace.cpp:637 AdvanceSlice)
         if cfg.use_laser:
@@ -635,6 +787,73 @@ def make_slice_step(cfg: SimConfig, dtype):
             f = dict(f, This=this)
             pc_err = jnp.zeros((), dtype)
             pc_iters = jnp.zeros((), jnp.int32)
+
+            # ---- MR: fine Bx/By (ref ExplicitMGSolveBxBy lev>0,
+            # Hipace.cpp:793-933)
+            if mr:
+                G = g.nguards
+                for i, lv in enumerate(mr):
+                    coup = couplers[i]
+                    fg = lv.geom
+                    fl = fine_f[i]
+                    parent = this if i == 0 else fine_f[i - 1]["This"]
+                    if cfg.do_beam_jx_jy_deposition and cfg.beams:
+                        bmask = in_level_bounds(xs["beam_next"]["x"],
+                                                xs["beam_next"]["y"],
+                                                fg) & actives[i]
+                        fl["Next"] = bm.deposit_beam_slice(
+                            xs["beam_next"],
+                            {"jx": "jx_beam", "jy": "jy_beam"},
+                            fl["Next"], fg, cfg.beams, pc, order,
+                            cfg.normalized_units, extra_mask=bmask, geom0=g)
+                    fl = dict(fl, **{"This": fl["This"]})
+                    tmp = _init_sx_sy_with_beam(
+                        {"This": fl["This"], "Previous": fl["Previous"],
+                         "Next": fl["Next"]}, cfg, fg)
+                    fth = tmp["This"]
+                    for p, pcfg, tg in zip(plasmas, cfg.plasmas,
+                                           plasma_tags):
+                        fth = pl.explicit_deposition(
+                            p, fth, fg, pcfg, pc, order,
+                            cfg.depos_derivative_type,
+                            cfg.normalized_units, use_laser=False,
+                            extra_mask=(tg >= i + 1), geom0=g)
+                    # edge compensation from the parent
+                    # (ref Hipace.cpp:823-829)
+                    fth = dict(fth)
+                    fth["Sy"] = coup.up_boundary(fth["Sy"], parent["Sy"],
+                                                 0, -G)
+                    fth["Sx"] = coup.up_boundary(fth["Sx"], parent["Sx"],
+                                                 0, -G)
+                    fth["chi"] = coup.up_boundary(fth["chi"], parent["chi"],
+                                                  0, -G + 1)
+                    # Dirichlet BC from the parent Bx/By solution
+                    # (ref Hipace.cpp:839-853: even-size cell-centered MG
+                    # offset 0.5 factor 8/3; odd node-centered 1, 1)
+                    if fg.nx % 2 == 0:
+                        off_bc, fac_bc = 0.5, 8.0 / 3.0
+                    else:
+                        off_bc, fac_bc = 1.0, 1.0
+                    sy_i = coup.apply_bc(sl.interior(fth["Sy"], fg),
+                                         parent["Bx"], off_bc, fac_bc)
+                    sx_i = coup.apply_bc(sl.interior(fth["Sx"], fg),
+                                         parent["By"], off_bc, fac_bc)
+                    b0 = jnp.stack([sl.interior(fth["Bx"], fg),
+                                    sl.interior(fth["By"], fg)])
+                    bsol = fine_mgs[i].solve(
+                        b0, jnp.stack([sy_i, sx_i]),
+                        sl.interior(fth["chi"], fg),
+                        tol_rel=cfg.MG_tolerance_rel,
+                        tol_abs=cfg.MG_tolerance_abs, max_iters=40)
+                    fth["Bx"] = sl.set_interior(fth["Bx"], bsol[0], fg)
+                    fth["By"] = sl.set_interior(fth["By"], bsol[1], fg)
+                    # ghost fill from the parent (ref Hipace.cpp:928-933)
+                    fth["Bx"] = coup.up_boundary(fth["Bx"], parent["Bx"],
+                                                 G, 0)
+                    fth["By"] = coup.up_boundary(fth["By"], parent["By"],
+                                                 G, 0)
+                    fl["This"] = fth
+                    fine_f[i] = fl
 
             # ---- SALAME beam loading (ref Hipace.cpp:673-678)
             if cfg.salame_active:
@@ -684,12 +903,17 @@ def make_slice_step(cfg: SimConfig, dtype):
         for dg in cfg.diags:
             if _diag_is_identity(dg, cfg):
                 continue   # served from the legacy full-interior stack
+            dgeom = g
             if dg.base == "laser":
                 srcs = [n00j00 if c == "laserEnvelope" else this[c]
                         for c in dg.comps]
+            elif dg.base.startswith("level_") and dg.base != "level_0":
+                li = int(dg.base[-1]) - 1
+                srcs = [fine_f[li]["This"][c] for c in dg.comps]
+                dgeom = mr[li].geom
             else:
                 srcs = [this[c] for c in dg.comps]
-            payload = _process_diag_slice(srcs, dg, g)
+            payload = _process_diag_slice(srcs, dg, dgeom)
             if dg.diag_type == "xy_integrated":
                 di = dict(carry["diag_int"])
                 di[dg.name] = di[dg.name] + payload
@@ -723,10 +947,21 @@ def make_slice_step(cfg: SimConfig, dtype):
             carry = dict(carry, key=key)
 
         # ---- push plasma (ref Hipace.cpp:698-701)
-        plasmas = [pl.advance_plasma(p, this, g, pcfg, pc, temp_slice=False,
-                                     order=order, use_laser=cfg.use_laser,
-                                     banded=banded, lost_out=lost_acc)
-                   for p, pcfg in zip(plasmas, cfg.plasmas)]
+        if mr:
+            fine_fields = tuple((fine_f[i]["This"], lv.geom)
+                                for i, lv in enumerate(mr))
+            plasmas = [pl.advance_plasma(p, this, g, pcfg, pc,
+                                         temp_slice=False, order=order,
+                                         use_laser=cfg.use_laser,
+                                         fine_levels=fine_fields, tag=tg)
+                       for p, pcfg, tg in zip(plasmas, cfg.plasmas,
+                                              plasma_tags)]
+        else:
+            plasmas = [pl.advance_plasma(p, this, g, pcfg, pc,
+                                         temp_slice=False, order=order,
+                                         use_laser=cfg.use_laser,
+                                         banded=banded, lost_out=lost_acc)
+                       for p, pcfg in zip(plasmas, cfg.plasmas)]
 
         # ---- push beam: this slice + slipped carry (ref Hipace.cpp:706-709)
         combined = {k: jnp.concatenate([xs["beam_this"][k], slip[k]])
@@ -744,7 +979,10 @@ def make_slice_step(cfg: SimConfig, dtype):
         if cfg.beams:
             combined = bm.advance_all_beams(
                 combined, this, g, cfg.beams, pc, dt, min_z, order=order,
-                time=time, background_density_SI=cfg.background_density_SI)
+                time=time, background_density_SI=cfg.background_density_SI,
+                fine_levels=(tuple(
+                    (fine_f[i]["This"], lv.geom, actives[i])
+                    for i, lv in enumerate(mr)) if mr else ()))
             # particles that stopped mid-subcycles slip to the carry buffer
             incomplete = combined["valid"] & (combined["nsub"] > 0)
             perm = jnp.argsort(jnp.where(incomplete, 0, 1), stable=True)
@@ -812,6 +1050,18 @@ def make_slice_step(cfg: SimConfig, dtype):
             new_this["jx"] = f["Next"]["jx_beam"]
             new_this["jy"] = f["Next"]["jy_beam"]
             f = dict(f, This=new_this, Previous=prev)
+            if mr:
+                for i in range(len(mr)):
+                    fl = fine_f[i]
+                    fth = fl["This"]
+                    fprev = {"jx_beam": fth["jx_beam"],
+                             "jy_beam": fth["jy_beam"]}
+                    fth = dict(fth)
+                    fth["jx_beam"] = fl["Next"]["jx_beam"]
+                    fth["jy_beam"] = fl["Next"]["jy_beam"]
+                    fth["jx"] = fl["Next"]["jx_beam"]
+                    fth["jy"] = fl["Next"]["jy_beam"]
+                    f[f"mr{i + 1}"] = dict(fl, This=fth, Previous=fprev)
         else:
             new_pp = {"Bx": f["Previous"]["Bx"], "By": f["Previous"]["By"]}
             new_prev = {"Bx": this["Bx"], "By": this["By"],

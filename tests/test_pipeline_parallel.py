@@ -8,6 +8,7 @@ streaming.
 """
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -67,9 +68,9 @@ def test_pipelined_matches_serial(n_dev):
            for k in ("x", "y", "z", "ux", "uy", "uz", "w")}
 
     # pipelined: one step per device
-    final, _min_uz = pipelined_evolve(sim.cfg, sim.dtype, binned0,
-                                      sim.dt, key,
-                                      devices=devices[:n_dev])
+    final, _min_uz, _laser = pipelined_evolve(sim.cfg, sim.dtype, binned0,
+                                              sim.dt, key,
+                                              devices=devices[:n_dev])
     pip_valid = np.asarray(final["valid"].reshape(-1))
     pip = {k: np.asarray(final[k].reshape(-1))[pip_valid]
            for k in ("x", "y", "z", "ux", "uy", "uz", "w")}
@@ -83,3 +84,85 @@ def test_pipelined_matches_serial(n_dev):
     for k in ("x", "y", "z", "ux", "uy", "uz", "w"):
         np.testing.assert_allclose(seq[k][i_seq], pip[k][i_pip],
                                    rtol=1e-9, atol=1e-11, err_msg=k)
+
+
+LASER_DECK = """
+amr.n_cell = 16 16 32
+hipace.normalized_units = 0
+max_step = 1
+hipace.dt = 30.e-6/clight
+my_constants.kp_inv = 10.e-6
+geometry.prob_lo = -6.*kp_inv -6.*kp_inv -8.*kp_inv
+geometry.prob_hi =  6.*kp_inv  6.*kp_inv  6.*kp_inv
+boundary.field = Dirichlet
+boundary.particle = Periodic
+lasers.names = laser
+lasers.lambda0 = .8e-6
+lasers.solver_type = fft
+laser.a0 = 1.5
+laser.position_mean = 0. 0. 0.
+laser.w0 = 2.*kp_inv
+laser.L0 = 2.*kp_inv
+laser.focal_distance = 0.001
+plasmas.names = plasma
+plasma.density(x,y,z) = 1.1027e24
+plasma.ppc = 1 1
+plasma.element = electron
+beams.names = beam
+beam.injection_type = fixed_weight
+beam.num_particles = 400
+beam.profile = gaussian
+beam.position_mean = 0. 0. -4.*kp_inv
+beam.position_std = 0.5*kp_inv 0.5*kp_inv 1.*kp_inv
+beam.zmin = -7.9*kp_inv
+beam.zmax = 5.9*kp_inv
+beam.density = 1.e22
+beam.u_mean = 0. 0. 1000.
+beam.u_std = 0. 0. 0.
+diagnostic.output_period = 0
+"""
+
+
+def test_pipelined_laser_matches_serial():
+    """Laser slices stream through the device ring like the reference's
+    MultiBuffer laser components (ref MultiBuffer.H:110-122)."""
+    n_dev = 2
+    devices = jax.devices()
+    assert len(devices) >= n_dev
+
+    inputs = Inputs(LASER_DECK, overrides=[f"max_step={n_dev - 1}"])
+    sim = Simulation(inputs, verbose=0)
+    key = jax.random.PRNGKey(3)
+
+    binned0 = {k: v for k, v in sim.binned.items() if k != "n_dropped"}
+
+    binned = sim.binned
+    stream = None
+    for step in range(n_dev):
+        res = sim._step_fn(binned, sim.dtype(step * sim.dt),
+                           sim.dtype(sim.dt), key,
+                           jnp.asarray(step, jnp.int32), stream)
+        binned = res["binned"]
+        stream = res["laser_stream"]
+    seq_valid = np.asarray(binned["valid"].reshape(-1))
+    seq = {k: np.asarray(binned[k].reshape(-1))[seq_valid]
+           for k in ("x", "y", "z", "ux", "uy", "uz", "w")}
+
+    final, _min_uz, pip_stream = pipelined_evolve(
+        sim.cfg, sim.dtype, binned0, sim.dt, key, devices=devices[:n_dev])
+    pip_valid = np.asarray(final["valid"].reshape(-1))
+    pip = {k: np.asarray(final[k].reshape(-1))[pip_valid]
+           for k in ("x", "y", "z", "ux", "uy", "uz", "w")}
+
+    assert seq_valid.sum() == pip_valid.sum()
+    i_seq = np.argsort(seq["z"], kind="stable")
+    i_pip = np.argsort(pip["z"], kind="stable")
+    for k in ("x", "y", "z", "ux", "uy", "uz", "w"):
+        np.testing.assert_allclose(seq[k][i_seq], pip[k][i_pip],
+                                   rtol=1e-9, atol=1e-20, err_msg=k)
+
+    # the streamed laser state after n_dev steps must match the serial one
+    for a, b, name in ((stream[0], pip_stream[0], "np1"),
+                       (stream[1], pip_stream[1], "n00")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-9, atol=1e-12, err_msg=name)
