@@ -92,7 +92,8 @@ def make_pipelined_evolve(cfg, dtype, n_devices: int, beam_cap: int,
         for pcfg in cfg.plasmas:
             key, sub = jax.random.split(key)
             states.append(pl.init_plasma(pcfg, g, sub, dtype, c_t,
-                                         cfg.normalized_units))
+                                         cfg.normalized_units,
+                                         ab5=cfg.plasma_pusher == "ab5"))
         return states
 
     def device_evolve(binned0, dt, key, laser0):

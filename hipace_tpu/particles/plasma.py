@@ -154,7 +154,8 @@ class PlasmaConfig:
 
 
 def init_plasma(cfg: PlasmaConfig, geom: Geometry, key, dtype,
-                c_t: float = 0.0, normalized_units: bool = True) -> dict:
+                c_t: float = 0.0, normalized_units: bool = True,
+                ab5: bool = False) -> dict:
     """Initialize the slice plasma population (ref PlasmaParticleContainerInit.cpp:17-378).
 
     Fixed ppc per transverse cell; weight = density / num_ppc (normalized
@@ -230,13 +231,21 @@ def init_plasma(cfg: PlasmaConfig, geom: Geometry, key, dtype,
     lev0 = cfg.init_ion_lev if cfg.can_ionize else 1
     ion_lev = jnp.full((n,), lev0, jnp.int32)
     # u stored as proper velocity (* c), ref Init.cpp:296-297
-    return {
+    out = {
         "x": x, "y": y, "w": w,
         "ux": u0, "uy": u1, "psi": psi,
         "x_prev": x, "y_prev": y,
         "ux_half": u0, "uy_half": u1, "psi_half": psi,
         "ion_lev": ion_lev, "valid": valid,
     }
+    if ab5:
+        # 25 force-history slots for the AB5 multistep pusher
+        # (ref PlasmaParticleContainer.H:21-46 under HIPACE_USE_AB5_PUSH)
+        z = jnp.zeros((n,), dtype)
+        for i in range(1, 6):
+            for f in ("Fx", "Fy", "Fux", "Fuy", "Fpsi"):
+                out[f"{f}{i}"] = z
+    return out
 
 
 def _fine_patch_positions(cfg: PlasmaConfig, geom: Geometry, dtype,
@@ -537,10 +546,14 @@ def _banded_main_gather(xp, yp, valid, fields, geom, order, banded,
     return exmby * dx_inv, eypbx * dy_inv, ez, bx, by, bz
 
 
+_AB5_COEFFS = (1901.0 / 720.0, -1387.0 / 360.0, 109.0 / 30.0,
+               -637.0 / 360.0, 251.0 / 720.0)
+
+
 def advance_plasma(p: dict, fields: dict, geom: Geometry, cfg: PlasmaConfig,
                    pc: PhysConst, temp_slice: bool, order: int = 2,
                    use_laser: bool = False, banded=None, lost_out=None,
-                   fine_levels=(), tag=None):
+                   fine_levels=(), tag=None, pusher: str = "leapfrog"):
     """Advance plasma particles one zeta slice
     (ref PlasmaParticleAdvance.cpp:29-305, leapfrog path).
 
@@ -621,6 +634,40 @@ def advance_plasma(p: dict, fields: dict, geom: Geometry, cfg: PlasmaConfig,
                     for fv, sv, cv in zip(fine, stale, fvals))
             stale = fvals
 
+        if pusher == "ab5":
+            # Adams-Bashforth 5 multistep (ref PlasmaParticleAdvance.cpp:
+            # 218-271 under HIPACE_USE_AB5_PUSH): derivative at the current
+            # state becomes history slot 1; the push sums 5 history terms
+            exmby, eypbx, ez, bx_c, by_c, bz, a2, a2dx, a2dy = fvals
+            psi_inv_h = 1.0 / psi_h
+            dz_ux, dz_uy, dz_psi = _momentum_derivative(
+                ux_h, uy_h, psi_inv_h, exmby, eypbx, ez, bx_c, by_c, bz,
+                a2, a2dx, a2dy, clight_inv, q_m_c_p)
+            hist = {
+                "Fx1": clight_inv * ux_h * psi_inv_h,
+                "Fy1": clight_inv * uy_h * psi_inv_h,
+                "Fux1": dz_ux, "Fuy1": dz_uy, "Fpsi1": dz_psi,
+            }
+            for i in range(2, 6):
+                for f in ("Fx", "Fy", "Fux", "Fuy", "Fpsi"):
+                    hist[f"{f}{i}"] = p[f"{f}{i}"]
+            xnew, ynew = xprev, yprev
+            ux, uy, psi = ux_h, uy_h, psi_h
+            for i in range(5):
+                a_dz = _AB5_COEFFS[i] * dz
+                xnew = xnew + a_dz * hist[f"Fx{i + 1}"]
+                ynew = ynew + a_dz * hist[f"Fy{i + 1}"]
+                ux = ux + a_dz * hist[f"Fux{i + 1}"]
+                uy = uy + a_dz * hist[f"Fuy{i + 1}"]
+                psi = psi + a_dz * hist[f"Fpsi{i + 1}"]
+            xnew, ynew, ux, uy, w, valid = enforce_particle_bc(
+                xnew, ynew, ux, uy, w, valid, geom, cfg.particle_boundary)
+            x, y = xnew, ynew
+            if not temp_slice:
+                ux_h, uy_h, psi_h = ux, uy, psi
+                xprev, yprev = x, y
+            continue
+
         # full momentum push t-1/2 -> t+1/2 in 4 substeps
         nsub = 4
         sdz = dz / nsub
@@ -647,6 +694,11 @@ def advance_plasma(p: dict, fields: dict, geom: Geometry, cfg: PlasmaConfig,
     if not temp_slice:
         out.update(x_prev=xprev, y_prev=yprev,
                    ux_half=ux_h, uy_half=uy_h, psi_half=psi_h)
+        if pusher == "ab5":
+            # shift the force history (ref PlasmaParticleAdvance.cpp:276-305)
+            for f in ("Fx", "Fy", "Fux", "Fuy", "Fpsi"):
+                for i in range(5, 1, -1):
+                    out[f"{f}{i}"] = hist[f"{f}{i - 1}"]
     return out
 
 

@@ -190,7 +190,13 @@ class Simulation:
             banded_sort_period=inputs.query("hipace.banded_sort_period",
                                             1, int),
             mr_levels=self.mr_levels,
+            plasma_pusher=inputs.query("hipace.plasma_pusher", "leapfrog",
+                                       str),
         )
+        if self.cfg.plasma_pusher == "ab5" and self.cfg.use_banded:
+            raise ValueError("hipace.plasma_pusher=ab5 is incompatible with "
+                             "hipace.use_banded (the row sort would have to "
+                             "carry the 25 force-history slots)")
         self._insitu_writers = {}
 
         seed = inputs.query("hipace.random_seed", 0, int)
@@ -434,7 +440,8 @@ class Simulation:
         for i, pcfg in enumerate(self.plasma_cfgs):
             key, sub = jax.random.split(key)
             st = pl.init_plasma(pcfg, self.geom, sub, self.dtype, c_t,
-                                self.normalized_units)
+                                self.normalized_units,
+                                ab5=self.cfg.plasma_pusher == "ab5")
             extra = self._spawn_extra[i] if hasattr(self, "_spawn_extra") else 0
             if self.cfg.use_banded:
                 # banded kernels process fixed K-particle chunks

@@ -197,6 +197,10 @@ class SimConfig:
     # transverse mesh refinement levels (fields/mr.py MRLevel tuple,
     # ref Hipace.cpp:327-374; amr.max_level + mr_lev<N>.* parameters)
     mr_levels: tuple = ()
+    # plasma pusher: "leapfrog" (dual-number 2nd order, the reference
+    # default) or "ab5" (the reference's HIPACE_USE_AB5_PUSH compile
+    # option, exposed at runtime as hipace.plasma_pusher)
+    plasma_pusher: str = "leapfrog"
 
     @property
     def salame_active(self) -> bool:
@@ -379,7 +383,8 @@ def _pc_bxby_solve(f, plasmas, beam_next, cfg: SimConfig, solver, ob=None):
         for p, pcfg in zip(plasmas, cfg.plasmas):
             p_tmp = pl.advance_plasma(p, fields_it, g, pcfg, pc,
                                       temp_slice=True, order=order,
-                                      use_laser=cfg.use_laser, banded=banded)
+                                      use_laser=cfg.use_laser, banded=banded,
+                                      pusher=cfg.plasma_pusher)
             nxt, _ = pl.deposit_plasma(p_tmp, ["jx", "jy"], nxt, g, pcfg, pc,
                                        order, cfg.normalized_units,
                                        use_laser=False, banded=banded)
@@ -953,14 +958,16 @@ def make_slice_step(cfg: SimConfig, dtype):
             plasmas = [pl.advance_plasma(p, this, g, pcfg, pc,
                                          temp_slice=False, order=order,
                                          use_laser=cfg.use_laser,
-                                         fine_levels=fine_fields, tag=tg)
+                                         fine_levels=fine_fields, tag=tg,
+                                         pusher=cfg.plasma_pusher)
                        for p, pcfg, tg in zip(plasmas, cfg.plasmas,
                                               plasma_tags)]
         else:
             plasmas = [pl.advance_plasma(p, this, g, pcfg, pc,
                                          temp_slice=False, order=order,
                                          use_laser=cfg.use_laser,
-                                         banded=banded, lost_out=lost_acc)
+                                         banded=banded, lost_out=lost_acc,
+                                         pusher=cfg.plasma_pusher)
                        for p, pcfg in zip(plasmas, cfg.plasmas)]
 
         # ---- push beam: this slice + slipped carry (ref Hipace.cpp:706-709)

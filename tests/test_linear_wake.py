@@ -58,9 +58,16 @@ def _rho_theory(zeta, dz, nb_array, kp=1.0):
     return n_th + nb_array
 
 
-@pytest.mark.parametrize("solver", ["explicit", "predictor-corrector"])
-def test_linear_wake_rho(solver):
-    inputs = Inputs(DECK, overrides=[f"hipace.bxby_solver={solver}"])
+@pytest.mark.parametrize("solver,pusher", [
+    ("explicit", "leapfrog"),
+    ("predictor-corrector", "leapfrog"),
+    # AB5 multistep pusher (ref HIPACE_USE_AB5_PUSH compile option,
+    # PlasmaParticleAdvance.cpp:218-305) must satisfy the same wake theory
+    ("explicit", "ab5"),
+])
+def test_linear_wake_rho(solver, pusher):
+    inputs = Inputs(DECK, overrides=[f"hipace.bxby_solver={solver}",
+                                     f"hipace.plasma_pusher={pusher}"])
     sim = Simulation(inputs, verbose=0)
     res = sim.run_step(0)
     diag = np.asarray(res["diag"])  # (nz, ncomp, ny, nx)
