@@ -97,6 +97,7 @@ class LaserConfig:
     lambda0: float = 0.8e-6
     solver_type: str = "multigrid"      # "multigrid" | "fft"
     use_phase: bool = True
+    interp_order: int = 1  # laser<->field grid interpolation (ref :40)
     MG_tolerance_rel: float = 1e-4
     MG_tolerance_abs: float = 0.0
     MG_average_rhs: bool = True
@@ -114,6 +115,7 @@ class LaserConfig:
             lambda0=pp.query("lambda0", 0.8e-6),
             solver_type=pp.query("solver_type", "multigrid", str),
             use_phase=pp.query("use_phase", True, bool),
+            interp_order=pp.query("interp_order", 1, int),
             MG_tolerance_rel=pp.query("MG_tolerance_rel", 1e-4),
             MG_tolerance_abs=pp.query("MG_tolerance_abs", 0.0),
             MG_average_rhs=pp.query("MG_average_rhs", True, bool),
@@ -128,11 +130,45 @@ class LaserConfig:
         return any(p.init_type == "from_file" for p in self.pulses)
 
 
-def load_laser_from_file(lcfg: LaserConfig, geom: Geometry, dtype):
+def make_laser_geometry(inputs: Inputs, geom0: Geometry):
+    """Build the laser's own 3D geometry (ref MultiLaser::MakeLaserGeometry,
+    MultiLaser.cpp:59-110): lasers.n_cell / patch_lo / patch_hi, defaulting
+    to the field geometry; zeta snaps to field slices. Returns
+    (Geometry, zeta_lo, zeta_hi)."""
+    pp = inputs.prefix("lasers")
+    n_cell = pp.query_list("n_cell", [geom0.nx, geom0.ny], int)
+    patch_lo = pp.query_list("patch_lo", list(geom0.prob_lo))
+    patch_hi = pp.query_list("patch_hi", list(geom0.prob_hi))
+    poff_z = geom0.z_pos_offset
+    zeta_lo = max(0, round((patch_lo[2] - poff_z) / geom0.dz))
+    zeta_hi = min(geom0.nz - 1, round((patch_hi[2] - poff_z) / geom0.dz))
+    lo_z = (zeta_lo - 0.5) * geom0.dz + poff_z
+    hi_z = (zeta_hi + 0.5) * geom0.dz + poff_z
+    # snap to the field geometry exactly when they coincide (identity
+    # interpolation fast path; avoids float round-off in the z rebuild)
+    tol = 1e-12 * max(abs(geom0.prob_hi[0] - geom0.prob_lo[0]), 1e-300)
+    if (tuple(n_cell) == (geom0.nx, geom0.ny)
+            and zeta_lo == 0 and zeta_hi == geom0.nz - 1
+            and all(abs(patch_lo[d] - geom0.prob_lo[d]) < tol
+                    and abs(patch_hi[d] - geom0.prob_hi[d]) < tol
+                    for d in (0, 1))):
+        return geom0, 0, geom0.nz - 1
+    g = Geometry(
+        n_cell=(int(n_cell[0]), int(n_cell[1]), zeta_hi - zeta_lo + 1),
+        prob_lo=(patch_lo[0], patch_lo[1], lo_z),
+        prob_hi=(patch_hi[0], patch_hi[1], hi_z),
+        nguards=geom0.nguards, is_periodic=(False, False, False))
+    return g, zeta_lo, zeta_hi
+
+
+def load_laser_from_file(lcfg: LaserConfig, geom: Geometry, dtype,
+                         zeta_lo: int = 0, nz_global: int | None = None):
     """Read the initial envelope from an openPMD file (ref Laser.cpp
     GetEnvelopeFromFileHelper; xyt cartesian geometry). The file grid must
-    match the simulation grid; the data fills the interior, guards zero.
-    Our own laser_diag output round-trips through this (restart)."""
+    match the laser grid; the data fills the interior, guards zero. The
+    returned stream is indexed by GLOBAL slice index (rows outside the
+    laser zeta range stay zero). Our own laser_diag output round-trips
+    through this (restart)."""
     import h5py
     import numpy as np
 
@@ -151,18 +187,20 @@ def load_laser_from_file(lcfg: LaserConfig, geom: Geometry, dtype):
             raise KeyError(f"{name} not found in {p.input_file}")
     if arr.shape != (geom.nz, geom.ny, geom.nx):
         raise ValueError(
-            f"laser input file grid {arr.shape} != simulation grid "
+            f"laser input file grid {arr.shape} != laser grid "
             f"{(geom.nz, geom.ny, geom.nx)}")
     G = geom.nguards
     NY, NX = geom.slice_shape
-    full = np.zeros((geom.nz, NY, NX), np.complex128)
-    full[:, G:NY - G, G:NX - G] = arr
+    nz_global = geom.nz if nz_global is None else nz_global
+    full = np.zeros((nz_global, NY, NX), np.complex128)
+    full[zeta_lo:zeta_lo + geom.nz, G:NY - G, G:NX - G] = arr
     return jnp.asarray(full, ctype)
 
 
-def envelope_slice(lcfg: LaserConfig, geom: Geometry, islice, dtype):
-    """Initial envelope A0 at a zeta slice, all pulses summed
-    (ref MultiLaser.cpp:804-920 InitLaserSlice). islice may be traced."""
+def envelope_slice(lcfg: LaserConfig, geom: Geometry, z, dtype):
+    """Initial envelope A0 at zeta position z, all pulses summed
+    (ref MultiLaser.cpp:804-920 InitLaserSlice). geom is the laser
+    geometry (transverse); z may be traced."""
     G = geom.nguards
     NY, NX = geom.slice_shape
     k0 = 2.0 * math.pi / lcfg.lambda0
@@ -170,7 +208,6 @@ def envelope_slice(lcfg: LaserConfig, geom: Geometry, islice, dtype):
     y = (jnp.arange(NY, dtype=dtype) - G + 0.5) * geom.dy + geom.prob_lo[1]
     X = x[None, :]
     Y = y[:, None]
-    z = geom.z_pos_offset + islice * geom.dz
     ctype = jnp.complex64 if dtype == jnp.float32 else jnp.complex128
     env = jnp.zeros((NY, NX), ctype)
     for p in lcfg.pulses:

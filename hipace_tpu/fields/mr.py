@@ -72,15 +72,35 @@ def parse_mr_levels(inputs: Inputs, geom0: Geometry) -> tuple:
     return tuple(levels)
 
 
-def _np_shape_weights_o2(xmid: np.ndarray):
-    """Order-2 B-spline shape factors in pure numpy (this runs at trace
-    time, so it must not create jax ops; mirrors ops/shape.py order 2)."""
-    i0 = np.floor(xmid + 0.5).astype(np.int64) - 1
-    u = xmid[:, None] - (i0[:, None] + np.arange(3))
+def _np_bspline(u, p):
+    """Cardinal B-spline B_p(u) in numpy (mirrors ops/shape.py)."""
     au = np.abs(u)
-    w = np.where(au <= 0.5, 0.75 - au * au,
-                 np.where(au < 1.5, 0.5 * (1.5 - au) ** 2, 0.0))
-    return i0, w
+    if p == 0:
+        return np.where((u >= -0.5) & (u < 0.5), 1.0, 0.0)
+    if p == 1:
+        return np.maximum(0.0, 1.0 - au)
+    if p == 2:
+        return np.where(au <= 0.5, 0.75 - au * au,
+                        np.where(au < 1.5, 0.5 * (1.5 - au) ** 2, 0.0))
+    if p == 3:
+        return np.where(au <= 1.0, (4.0 - 6.0 * au * au + 3.0 * au ** 3) / 6.0,
+                        np.where(au < 2.0, ((2.0 - au) ** 3) / 6.0, 0.0))
+    raise ValueError(f"unsupported shape order {p}")
+
+
+def _np_shape_weights(xmid: np.ndarray, p: int = 2):
+    """Order-p B-spline shape factors in pure numpy (this runs at trace
+    time, so it must not create jax ops; mirrors ops/shape.py)."""
+    if p in (0, 2):
+        i0 = np.floor(xmid + 0.5).astype(np.int64) - p // 2
+    else:
+        i0 = np.floor(xmid).astype(np.int64) - (p - 1) // 2
+    u = xmid[:, None] - (i0[:, None] + np.arange(p + 1))
+    return i0, _np_bspline(u, p)
+
+
+def _np_shape_weights_o2(xmid: np.ndarray):
+    return _np_shape_weights(xmid, 2)
 
 
 def _interp_matrix_1d(fine_coords, coarse_geom: Geometry, axis: int,
@@ -196,6 +216,50 @@ class LevelCoupler:
         rhs = rhs.at[:, 0].add(-left * inv_dx2)
         rhs = rhs.at[:, -1].add(-right * inv_dx2)
         return rhs
+
+
+def _cross_matrix_1d(dst_coords, src_geom: Geometry, axis: int,
+                     n_src_padded: int, order: int,
+                     valid_only: bool) -> np.ndarray:
+    """(n_dst, n_src_padded) order-`order` interpolation matrix; taps that
+    fall outside the source array (or, with valid_only, outside the source
+    VALID box) contribute zero — the clip semantics of the reference's
+    cross-grid laser interpolation (ref MultiLaser.cpp:269-283)."""
+    G = src_geom.nguards
+    d = src_geom.cell_size(axis)
+    off = src_geom.pos_offset(axis)
+    xmid = (np.asarray(dst_coords, float) - off) / d
+    i0, w = _np_shape_weights(xmid, order)
+    M = np.zeros((len(xmid), n_src_padded))
+    rows = np.arange(len(xmid))
+    lo = G if valid_only else 0
+    hi = (n_src_padded - G) if valid_only else n_src_padded
+    for k in range(order + 1):
+        idx = i0 + k + G
+        ok = (idx >= lo) & (idx < hi)
+        M[rows[ok], idx[ok]] += w[ok, k]
+    return M
+
+
+class GridInterp:
+    """Separable cross-grid interpolation of padded slice arrays:
+    dst = Wy @ src @ Wx^T, used for the laser <-> field grid coupling
+    (ref MultiLaser::InterpolateChi / UpdateLaserAabs)."""
+
+    def __init__(self, src: Geometry, dst: Geometry, dtype, order: int = 1,
+                 valid_only: bool = False):
+        G = dst.nguards
+        NYs, NXs = src.slice_shape
+        NYd, NXd = dst.slice_shape
+        xd = (np.arange(NXd) - G + 0.5) * dst.dx + dst.prob_lo[0]
+        yd = (np.arange(NYd) - G + 0.5) * dst.dy + dst.prob_lo[1]
+        self.Wx = jnp.asarray(
+            _cross_matrix_1d(xd, src, 0, NXs, order, valid_only), dtype)
+        self.Wy = jnp.asarray(
+            _cross_matrix_1d(yd, src, 1, NYs, order, valid_only), dtype)
+
+    def apply(self, a):
+        return self.Wy @ a @ self.Wx.T
 
 
 def in_level_bounds(x, y, geom: Geometry):

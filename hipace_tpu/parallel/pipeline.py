@@ -148,18 +148,19 @@ def make_pipelined_evolve(cfg, dtype, n_devices: int, beam_cap: int,
             merge_keys.append("salame")
         if cfg.use_laser:
             from ..fields.laser import laser_empty_state, initial_chi
-            carry0["laser"] = laser_empty_state(g, dtype)
+            lg = cfg.laser_geom if cfg.laser_geom is not None else g
+            carry0["laser"] = laser_empty_state(lg, dtype)
             carry0["chi_initial"] = initial_chi(
-                cfg.laser, cfg.plasmas, g, cfg.pc, cfg.pc.c * time_d, dtype)
+                cfg.laser, cfg.plasmas, lg, cfg.pc, cfg.pc.c * time_d, dtype)
             merge_keys.append("laser")
-            zsl = jnp.zeros(g.slice_shape, ctype)
+            zsl = jnp.zeros(lg.slice_shape, ctype)
             # 2-tick delay line of received (np1, n00) laser slices
             carry0["lsr1"] = {"np1": zsl, "n00": zsl}
             carry0["lsr2"] = {"np1": zsl, "n00": zsl}
             # ring-wrap accumulation: the laser stream after n_dev steps
             carry0["laser_out"] = {
-                "n00": jnp.zeros((nz,) + g.slice_shape, ctype),
-                "nm1": jnp.zeros((nz,) + g.slice_shape, ctype)}
+                "n00": jnp.zeros((nz,) + lg.slice_shape, ctype),
+                "nm1": jnp.zeros((nz,) + lg.slice_shape, ctype)}
 
         # stage d lags stage d-1 by TWO slices: processing slice i needs
         # the upstream step's slice i-1 output (the reference's
@@ -321,8 +322,10 @@ def pipelined_evolve(cfg, dtype, binned, dt, key, devices=None,
         l0 = {"n00": laser_stream[0], "nm1": laser_stream[1]}
     else:
         l_nz = 1
-        z = jnp.zeros((1,) + (cfg.geom.slice_shape if cfg.use_laser
-                              else (1, 1)), ctype)
+        lgs = (cfg.laser_geom.slice_shape if cfg.use_laser
+               and cfg.laser_geom is not None
+               else cfg.geom.slice_shape if cfg.use_laser else (1, 1))
+        z = jnp.zeros((1,) + lgs, ctype)
         l0 = {"n00": z, "nm1": z}
     laser0 = {k: jnp.concatenate(
         [v[None], jnp.zeros((n_dev - 1,) + v.shape, ctype)], axis=0)

@@ -99,12 +99,20 @@ class Simulation:
                                       self.normalized_units)
             for n in beam_names)
 
-        from ..fields.laser import LaserConfig
+        from ..fields.laser import LaserConfig, make_laser_geometry
         laser_cfg = LaserConfig.from_inputs(inputs, self.pc)
+        self.laser_geom = None
+        self.laser_zeta = None
+        if laser_cfg.use_laser:
+            self.laser_geom, lz_lo, lz_hi = make_laser_geometry(inputs,
+                                                                self.geom)
+            self.laser_zeta = (lz_lo, lz_hi)
         self.laser_stream = None  # (n00, nm1) complex (nz, NY, NX) arrays
         if laser_cfg.from_file:
             from ..fields.laser import load_laser_from_file
-            env = load_laser_from_file(laser_cfg, self.geom, self.dtype)
+            env = load_laser_from_file(laser_cfg, self.laser_geom,
+                                       self.dtype, zeta_lo=self.laser_zeta[0],
+                                       nz_global=self.geom.nz)
             # nm1 is not read at step 0 (two-level scheme); seed it with n00
             self.laser_stream = (env, env)
 
@@ -128,6 +136,8 @@ class Simulation:
             pc=self.pc,
             use_laser=laser_cfg.use_laser,
             laser=laser_cfg if laser_cfg.use_laser else None,
+            laser_geom=self.laser_geom,
+            laser_zeta=self.laser_zeta,
             normalized_units=self.normalized_units,
             explicit=(solver == "explicit"),
             depos_order_xy=depos_order,
@@ -285,7 +295,8 @@ class Simulation:
             if base == "laser" and not use_laser:
                 continue
             dgeom = (self.mr_levels[lev_idx - 1].geom if lev_idx > 0
-                     else self.geom)
+                     else self.laser_geom if base == "laser"
+                     and self.laser_geom is not None else self.geom)
             period = pp.query("output_period",
                               dd.query("output_period",
                                        self.output_period, int), int)
@@ -326,6 +337,22 @@ class Simulation:
                                 dd.query_list("patch_lo", [-inf] * 3), float)
             phi = pp.query_list("patch_hi",
                                 dd.query_list("patch_hi", [inf] * 3), float)
+            if base == "laser" and dgeom is not self.geom:
+                # laser-grid diag: transverse patch in the laser grid;
+                # z range clipped to the laser zeta span
+                pz = patch_range(plo[2], phi[2], g.prob_lo[2], g.dz, g.nz)
+                pz = (max(pz[0], self.laser_zeta[0]),
+                      min(pz[1], self.laser_zeta[1]))
+                diags.append(DiagConfig(
+                    name=name, base=base, diag_type=dtyp,
+                    comps=tuple(comps), coarsening=coars,
+                    include_ghosts=bool(ghosts),
+                    patch_x=patch_range(plo[0], phi[0], dgeom.prob_lo[0],
+                                        dgeom.dx, dgeom.nx),
+                    patch_y=patch_range(plo[1], phi[1], dgeom.prob_lo[1],
+                                        dgeom.dy, dgeom.ny),
+                    patch_z=pz, period=period))
+                continue
             if lev_idx > 0:
                 # fine diag: transverse patch in the fine grid; z range in
                 # global slice indices, clipped to the level's zeta span
@@ -515,9 +542,10 @@ class Simulation:
         nz = g.nz
         if cfg.use_laser:
             from ..fields.laser import laser_empty_state, initial_chi
-            carry["laser"] = laser_empty_state(g, self.dtype)
+            lg = cfg.laser_geom if cfg.laser_geom is not None else g
+            carry["laser"] = laser_empty_state(lg, self.dtype)
             carry["chi_initial"] = initial_chi(
-                cfg.laser, self.plasma_cfgs, g, self.pc, self.pc.c * time,
+                cfg.laser, self.plasma_cfgs, lg, self.pc, self.pc.c * time,
                 self.dtype)
         int_diags = [dg for dg in cfg.diags
                      if dg.diag_type == "xy_integrated"]
@@ -550,7 +578,8 @@ class Simulation:
             ctype = jnp.complex64 if self.dtype == jnp.float32 \
                 else jnp.complex128
             if laser_stream is None:
-                zc = jnp.zeros((nz,) + g.slice_shape, ctype)
+                lg = cfg.laser_geom if cfg.laser_geom is not None else g
+                zc = jnp.zeros((nz,) + lg.slice_shape, ctype)
                 laser_stream = (zc, zc)
             xs["laser_n00"] = laser_stream[0]
             xs["laser_nm1"] = laser_stream[1]
@@ -760,6 +789,14 @@ class Simulation:
     def _diag_geometry(self, dg):
         """(spacing, offset) per written axis, reference layout z,y,x."""
         g = self.geom
+        if dg.base == "laser" and self.laser_geom is not None \
+                and self.laser_geom != self.geom:
+            fg = self.laser_geom
+            cx, cy, cz = dg.coarsening
+            return ((g.dz * cz, fg.dy * cy, fg.dx * cx),
+                    (g.prob_lo[2] + dg.patch_z[0] * g.dz,
+                     fg.prob_lo[1] + dg.patch_y[0] * fg.dy,
+                     fg.prob_lo[0] + dg.patch_x[0] * fg.dx))
         if dg.base.startswith("level_") and dg.base != "level_0":
             fg = self.mr_levels[int(dg.base[-1]) - 1].geom
             cx, cy, cz = dg.coarsening

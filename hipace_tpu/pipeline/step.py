@@ -167,6 +167,11 @@ class SimConfig:
     # (peak_current_density, mean xyz, std xyz) or None
     grid_current: tuple | None = None
     laser: object = None  # LaserConfig when use_laser
+    # the laser's own grid (ref lasers.n_cell/patch_lo/patch_hi,
+    # MultiLaser.cpp:59-110); None = the field grid. laser_zeta is the
+    # (zeta_lo, zeta_hi) global slice range where the laser lives.
+    laser_geom: object = None
+    laser_zeta: tuple | None = None
     # (parent_idx, product_idx, spawn_base, product_init_ion_lev)
     ionization_pairs: tuple = ()
     # in-situ diagnostics periods (0 = off) and radii
@@ -507,7 +512,30 @@ def make_slice_step(cfg: SimConfig, dtype):
         ob = None
     if cfg.use_laser:
         from ..fields.laser import make_laser_advance, envelope_slice
-        laser_advance = make_laser_advance(cfg.laser, g, pc, dtype)
+        lg = cfg.laser_geom if cfg.laser_geom is not None else g
+        lz_lo, lz_hi = cfg.laser_zeta if cfg.laser_zeta is not None \
+            else (0, g.nz - 1)
+        laser_advance = make_laser_advance(cfg.laser, lg, pc, dtype)
+        separate_laser_grid = lg != g
+        if separate_laser_grid:
+            # cross-grid interpolation (ref MultiLaser::InterpolateChi /
+            # UpdateLaserAabs): field->laser for chi, laser->field for aabs
+            from ..fields.mr import GridInterp
+            import numpy as _np
+            f2l = GridInterp(g, lg, dtype, order=cfg.laser.interp_order)
+            l2f = GridInterp(lg, g, dtype, order=cfg.laser.interp_order,
+                             valid_only=True)
+            # laser points inside the trusted field chi region (the field
+            # valid box shrunk by 2 nguards, ref MultiLaser.cpp:358-373)
+            G_ = g.nguards
+            NYl, NXl = lg.slice_shape
+            xl = (_np.arange(NXl) - G_ + 0.5) * lg.dx + lg.prob_lo[0]
+            yl = (_np.arange(NYl) - G_ + 0.5) * lg.dy + lg.prob_lo[1]
+            x_ok = (xl >= g.prob_lo[0] + G_ * g.dx) \
+                & (xl <= g.prob_hi[0] - G_ * g.dx)
+            y_ok = (yl >= g.prob_lo[1] + G_ * g.dy) \
+                & (yl <= g.prob_hi[1] - G_ * g.dy)
+            laser_trust = jnp.asarray(y_ok[:, None] & x_ok[None, :])
 
     def slice_step(carry, xs):
         f = carry["fields"]
@@ -594,17 +622,25 @@ def make_slice_step(cfg: SimConfig, dtype):
         # (ref Hipace.cpp:603 UpdateLaserAabs)
         if cfg.use_laser:
             step_idx = carry["step"]
+            z_sl = (g.z_pos_offset + islice.astype(dtype) * g.dz).astype(dtype)
+            has_laser = (islice >= lz_lo) & (islice <= lz_hi)
             if cfg.laser.from_file:
                 # the stream was pre-filled from the openPMD file
                 n00j00 = xs["laser_n00"]
             else:
-                env0 = envelope_slice(cfg.laser, g, islice.astype(dtype),
-                                      dtype)
+                env0 = envelope_slice(cfg.laser, lg, z_sl, dtype)
                 n00j00 = jnp.where(step_idx == 0, env0, xs["laser_n00"])
+            n00j00 = jnp.where(has_laser, n00j00, 0.0)
             # nm1 is only read for step >= 1 (driver streams step s-1's n00)
             lstate = dict(carry["laser"], n00j00=n00j00,
                           nm1j00=xs["laser_nm1"])
-            this["aabs"] = jnp.abs(n00j00) ** 2
+            aabs_l = jnp.abs(n00j00) ** 2
+            if separate_laser_grid:
+                # laser -> field grid (ref UpdateLaserAabs,
+                # MultiLaser.cpp:215-290)
+                this["aabs"] = l2f.apply(aabs_l)
+            else:
+                this["aabs"] = aabs_l
 
         # ---- row-sort plasma for the banded MXU kernels
         if cfg.use_banded:
@@ -761,12 +797,18 @@ def make_slice_step(cfg: SimConfig, dtype):
             # chi on the laser grid: field chi in the trusted interior,
             # chi from the density profile near/outside the edge
             # (ref MultiLaser.cpp:335-405 InterpolateChi)
-            G2 = 2 * g.nguards
-            NY, NX = g.slice_shape
-            trust = jnp.zeros((NY, NX), bool)
-            trust = trust.at[G2:NY - G2, G2:NX - G2].set(True)
-            chi_laser = jnp.where(trust, this["chi"], carry["chi_initial"])
+            if separate_laser_grid:
+                chi_laser = jnp.where(laser_trust, f2l.apply(this["chi"]),
+                                      carry["chi_initial"])
+            else:
+                G2 = 2 * g.nguards
+                NY, NX = g.slice_shape
+                trust = jnp.zeros((NY, NX), bool)
+                trust = trust.at[G2:NY - G2, G2:NX - G2].set(True)
+                chi_laser = jnp.where(trust, this["chi"],
+                                      carry["chi_initial"])
             np1j00 = laser_advance(lstate, chi_laser, dt, carry["step"])
+            np1j00 = jnp.where(has_laser, np1j00, 0.0)
 
         # ---- Bx/By solve
         if cfg.explicit:
@@ -910,6 +952,11 @@ def make_slice_step(cfg: SimConfig, dtype):
                 continue   # served from the legacy full-interior stack
             dgeom = g
             if dg.base == "laser":
+                dgeom = lg
+                if separate_laser_grid:
+                    assert all(c == "laserEnvelope" for c in dg.comps), \
+                        "separate laser grid: laser diags support only " \
+                        "laserEnvelope"
                 srcs = [n00j00 if c == "laserEnvelope" else this[c]
                         for c in dg.comps]
             elif dg.base.startswith("level_") and dg.base != "level_0":
@@ -936,7 +983,7 @@ def make_slice_step(cfg: SimConfig, dtype):
                 ins.plasma_slice_moments(p, pc, cfg.insitu_radius)
                 for p in plasmas])
         if cfg.use_laser and cfg.insitu_laser_period:
-            extra_ys["insitu_laser"] = ins.laser_slice_moments(n00j00, g)
+            extra_ys["insitu_laser"] = ins.laser_slice_moments(n00j00, lg)
 
         # ---- field ionization (ref Hipace.cpp:693-696)
         if cfg.ionization_pairs:
