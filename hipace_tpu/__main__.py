@@ -27,9 +27,18 @@ def main(argv=None):
     if platform == "cpu":
         jax.config.update("jax_enable_x64", True)
 
+    # profiling (the reference's HIPACE_PROFILE/TinyProfiler region tracing,
+    # ref utils/HipaceProfilerWrapper.H): hipace.profile = <trace dir>
+    # writes a jax profiler trace viewable in TensorBoard/Perfetto
+    trace_dir = inputs.query("hipace.profile", "", str)
+
     t0 = time.perf_counter()
     sim = Simulation(inputs)
-    sim.evolve()
+    if trace_dir:
+        with jax.profiler.trace(trace_dir):
+            sim.evolve()
+    else:
+        sim.evolve()
     wall = time.perf_counter() - t0
 
     nz = sim.geom.nz

@@ -1,11 +1,12 @@
-"""openPMD-layout HDF5 output written directly with h5py.
+"""openPMD-layout output written directly with h5py (or json).
 
 The reference uses openPMD-api (ref: /root/reference/src/diagnostics/
 OpenPMDWriter.{H,cpp}) writing file-based series diags/openpmd_%06T.h5 with
-meshes (fields) and particle species. openPMD is a naming/attribute
-convention on HDF5; since openpmd-api is not available in this environment
-we write the same layout with h5py so that openPMD readers (and the
-reference's checksum harness style of analysis) work on our output.
+meshes (fields) and particle species, with hipace.openpmd_backend selecting
+h5/bp/json (ref OpenPMDWriter.cpp:21-34). openPMD is a naming/attribute
+convention; since openpmd-api is not available in this environment we write
+the same layout with h5py (h5) or as nested JSON mirroring the openPMD-api
+JSON backend's hierarchy (json). bp (ADIOS2) is unavailable and raises.
 
 Fields are written as (nz, ny, nx) datasets with axisLabels ("z","y","x");
 beams as 1D particle record components x/y/z, w, ux/uy/uz (momenta stored as
@@ -14,6 +15,7 @@ gamma*beta like the reference, ref OpenPMDWriter.H:79-95).
 
 from __future__ import annotations
 
+import json
 import os
 
 import numpy as np
@@ -26,15 +28,25 @@ except ImportError:  # pragma: no cover
 
 class OpenPMDWriter:
     def __init__(self, file_prefix: str = "diags/hdf5",
-                 normalized_units: bool = True):
+                 normalized_units: bool = True, backend: str = "h5"):
         self.prefix = file_prefix
         self.normalized = normalized_units
-        if h5py is not None:
-            os.makedirs(file_prefix, exist_ok=True)
+        if backend == "default":
+            backend = "h5"
+        if backend == "bp":
+            raise RuntimeError(
+                "hipace.openpmd_backend=bp needs ADIOS2, which is not "
+                "available in this environment; use h5 or json")
+        if backend not in ("h5", "json"):
+            raise ValueError(f"unknown openpmd_backend {backend}")
+        self.backend = backend
+        os.makedirs(file_prefix, exist_ok=True)
 
     def _path(self, it: int) -> str:
-        return os.path.join(self.prefix, f"openpmd_{it:06d}.h5")
+        ext = self.backend
+        return os.path.join(self.prefix, f"openpmd_{it:06d}.{ext}")
 
+    # ------------------------------------------------------------------
     def write(self, it: int, time: float, dt: float, fields: dict | None,
               geom, beams: dict | None = None, field_geom=None,
               field_meta: dict | None = None):
@@ -46,6 +58,29 @@ class OpenPMDWriter:
         field_meta: optional dict name -> (spacing tuple, offset tuple)
         matching the dataset's trailing axes.
         """
+        if self.backend == "json":
+            return self._write_json(it, time, dt, fields, geom, beams,
+                                    field_geom, field_meta)
+        return self._write_h5(it, time, dt, fields, geom, beams,
+                              field_geom, field_meta)
+
+    @staticmethod
+    def _field_attrs(name, arr, fg, field_meta):
+        nd = arr.ndim
+        labels = ["z", "y", "x"][-nd:]
+        if name in field_meta:
+            meta = field_meta[name]
+            spacing = list(meta[0])[-nd:]
+            offset = list(meta[1])[-nd:]
+            if len(meta) > 2:
+                labels = list(meta[2])[-nd:]
+        else:
+            spacing = [fg.dz, fg.dy, fg.dx][-nd:]
+            offset = [fg.prob_lo[2], fg.prob_lo[1], fg.prob_lo[0]][-nd:]
+        return labels, spacing, offset
+
+    def _write_h5(self, it, time, dt, fields, geom, beams, field_geom,
+                  field_meta):
         if h5py is None:
             raise RuntimeError("h5py not available")
         fg = field_geom or geom
@@ -68,23 +103,15 @@ class OpenPMDWriter:
                 for name, arr in fields.items():
                     arr = np.asarray(arr)
                     ds = mesh.create_dataset(name, data=arr)
-                    nd = arr.ndim
-                    labels = ["z", "y", "x"][-nd:]
-                    if name in field_meta:
-                        meta = field_meta[name]
-                        spacing = list(meta[0])[-nd:]
-                        offset = list(meta[1])[-nd:]
-                        if len(meta) > 2:
-                            labels = list(meta[2])[-nd:]
-                    else:
-                        spacing = [fg.dz, fg.dy, fg.dx][-nd:]
-                        offset = [fg.prob_lo[2], fg.prob_lo[1],
-                                  fg.prob_lo[0]][-nd:]
+                    labels, spacing, offset = self._field_attrs(
+                        name, arr, fg, field_meta)
                     ds.attrs["axisLabels"] = np.array(
                         [np.bytes_(a) for a in labels])
                     ds.attrs["gridSpacing"] = np.array(spacing, np.float64)
-                    ds.attrs["gridGlobalOffset"] = np.array(offset, np.float64)
-                    ds.attrs["position"] = np.array([0.5] * nd, np.float64)
+                    ds.attrs["gridGlobalOffset"] = np.array(offset,
+                                                            np.float64)
+                    ds.attrs["position"] = np.array([0.5] * arr.ndim,
+                                                    np.float64)
                     ds.attrs["dataOrder"] = np.bytes_("C")
                     ds.attrs["geometry"] = np.bytes_("cartesian")
                     ds.attrs["gridUnitSI"] = 1.0
@@ -95,9 +122,12 @@ class OpenPMDWriter:
                 part = base.create_group("particles")
                 for bname, b in beams.items():
                     gp = part.create_group(bname)
-                    for comp, key in (("position/x", "x"), ("position/y", "y"),
-                                      ("position/z", "z"), ("weighting", "w"),
-                                      ("momentum/x", "ux"), ("momentum/y", "uy"),
+                    for comp, key in (("position/x", "x"),
+                                      ("position/y", "y"),
+                                      ("position/z", "z"),
+                                      ("weighting", "w"),
+                                      ("momentum/x", "ux"),
+                                      ("momentum/y", "uy"),
                                       ("momentum/z", "uz")):
                         ds = gp.create_dataset(comp, data=np.asarray(b[key]))
                         ds.attrs["unitSI"] = 1.0
@@ -105,15 +135,101 @@ class OpenPMDWriter:
                     if "id" in b:
                         gp.create_dataset("id", data=np.asarray(b["id"]))
 
+    def _write_json(self, it, time, dt, fields, geom, beams, field_geom,
+                    field_meta):
+        """Nested-JSON mirror of the openPMD-api json backend layout."""
+        fg = field_geom or geom
+        field_meta = field_meta or {}
+
+        def dset(arr, attrs):
+            arr = np.asarray(arr)
+            return {"attributes": attrs,
+                    "datatype": "DOUBLE",
+                    "data": arr.tolist()}
+
+        mesh: dict = {}
+        for name, arr in (fields or {}).items():
+            arr = np.asarray(arr)
+            labels, spacing, offset = self._field_attrs(name, arr, fg,
+                                                        field_meta)
+            node = dset(arr, {
+                "axisLabels": labels,
+                "gridSpacing": list(map(float, spacing)),
+                "gridGlobalOffset": list(map(float, offset)),
+                "position": [0.5] * arr.ndim,
+                "dataOrder": "C", "geometry": "cartesian",
+                "gridUnitSI": 1.0, "unitSI": 1.0,
+                "unitDimension": [0.0] * 7,
+            })
+            # nested names like "lev1/Ez"
+            parts = name.split("/")
+            d = mesh
+            for p in parts[:-1]:
+                d = d.setdefault(p, {})
+            d[parts[-1]] = node
+
+        particles: dict = {}
+        for bname, b in (beams or {}).items():
+            gp: dict = {}
+            for comp, key in (("position/x", "x"), ("position/y", "y"),
+                              ("position/z", "z"), ("weighting", "w"),
+                              ("momentum/x", "ux"), ("momentum/y", "uy"),
+                              ("momentum/z", "uz")):
+                node = dset(b[key], {"unitSI": 1.0,
+                                     "unitDimension": [0.0] * 7})
+                parts = comp.split("/")
+                d = gp
+                for p in parts[:-1]:
+                    d = d.setdefault(p, {})
+                d[parts[-1]] = node
+            particles[bname] = gp
+
+        doc = {
+            "attributes": {
+                "openPMD": "1.1.0", "openPMDextension": 0,
+                "basePath": "/data/%T/", "meshesPath": "fields/",
+                "particlesPath": "particles/",
+                "iterationEncoding": "fileBased",
+                "iterationFormat": "openpmd_%06T",
+            },
+            "data": {str(it): {
+                "attributes": {"time": float(time), "dt": float(dt),
+                               "timeUnitSI": 1.0},
+                "fields": mesh,
+                "particles": particles,
+            }},
+        }
+        with open(self._path(it), "w") as f:
+            json.dump(doc, f)
+
 
 def read_field(path: str, it: int, name: str):
-    """Convenience reader used by tests."""
+    """Convenience reader used by tests (h5 and json)."""
+    if path.endswith(".json"):
+        with open(path) as f:
+            doc = json.load(f)
+        d = doc["data"][str(it)]["fields"]
+        for p in name.split("/"):
+            d = d[p]
+        return np.array(d["data"])
     with h5py.File(path, "r") as f:
         return np.array(f[f"data/{it}/fields/{name}"])
 
 
 def read_beam(path: str, it: int, beam: str):
     out = {}
+    if path.endswith(".json"):
+        with open(path) as f:
+            doc = json.load(f)
+        gp = doc["data"][str(it)]["particles"][beam]
+        out = {"x": np.array(gp["position"]["x"]["data"]),
+               "y": np.array(gp["position"]["y"]["data"]),
+               "z": np.array(gp["position"]["z"]["data"]),
+               "w": np.array(gp["weighting"]["data"]),
+               "ux": np.array(gp["momentum"]["x"]["data"]),
+               "uy": np.array(gp["momentum"]["y"]["data"]),
+               "uz": np.array(gp["momentum"]["z"]["data"])}
+        return out
     with h5py.File(path, "r") as f:
         gp = f[f"data/{it}/particles/{beam}"]
         for comp, key in (("position/x", "x"), ("position/y", "y"),

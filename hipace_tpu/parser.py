@@ -131,7 +131,12 @@ class Inputs:
             return
         key, val = line.split("=", 1)
         key = key.strip()
-        val = val.strip().strip('"')
+        val = val.strip()
+        # strip outer quotes only when the whole value is one quoted string;
+        # multi-token values like '"expr1" "expr2" -1.' keep their interior
+        # quotes for _split (ref parameters.rst:35-36)
+        if val.startswith('"') and val.endswith('"') and val.count('"') == 2:
+            val = val[1:-1]
         m = _FUNC_KEY_RE.match(key)
         if m:
             base = m.group(1)
@@ -212,20 +217,25 @@ class Inputs:
         return [self._convert(tok, dtype) for tok in self._split(self._raw[key])]
 
     def _split(self, val: str) -> list[str]:
-        # values may contain expressions with spaces inside parentheses:
-        # split on whitespace at paren depth 0
-        toks, depth, cur = [], 0, []
+        # values may contain expressions with spaces inside parentheses or
+        # double quotes (ref parameters.rst:35-36): split on whitespace at
+        # paren depth 0 outside quotes; quotes are stripped from the token
+        toks, depth, cur, in_q = [], 0, [], False
         for ch in val:
-            if ch in "([":
-                depth += 1
-            elif ch in ")]":
-                depth -= 1
-            if ch.isspace() and depth == 0:
-                if cur:
-                    toks.append("".join(cur))
-                    cur = []
-            else:
-                cur.append(ch)
+            if ch == '"':
+                in_q = not in_q
+                continue
+            if not in_q:
+                if ch in "([":
+                    depth += 1
+                elif ch in ")]":
+                    depth -= 1
+                if ch.isspace() and depth == 0:
+                    if cur:
+                        toks.append("".join(cur))
+                        cur = []
+                    continue
+            cur.append(ch)
         if cur:
             toks.append("".join(cur))
         return toks
@@ -233,6 +243,22 @@ class Inputs:
     def _convert(self, tok: str, dtype):
         self._queried.add(tok)
         if dtype is str:
+            # {...} interpolation in string parameters: paste my_constants
+            # or evaluate the braced expression (ref parameters.rst:37-38)
+            if "{" in tok:
+                import re as _re
+
+                def _sub(m):
+                    expr = m.group(1)
+                    if expr in self.my_constants:
+                        v = self.my_constants[expr]
+                    else:
+                        v = self._eval_scalar(expr)
+                    if isinstance(v, float) and v == int(v):
+                        return str(int(v))
+                    return str(v)
+
+                tok = _re.sub(r"\{([^{}]+)\}", _sub, tok)
             return tok
         if dtype is bool:
             v = self._eval_scalar(tok)

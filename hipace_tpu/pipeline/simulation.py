@@ -43,6 +43,11 @@ class Simulation:
         from ..fields.mr import parse_mr_levels
         self.mr_levels = parse_mr_levels(inputs, self.geom)
 
+        # ref parameters.rst:159-161: print all input parameters
+        if inputs.query("hipace.output_input", False, bool):
+            for k in sorted(inputs._raw):
+                print(f"{k} = {inputs._raw[k]}")
+
         self.max_step = inputs.query("max_step", 0, int)
         self.max_time = inputs.query("hipace.max_time", float("inf"))
         self._has_last_step = False
@@ -237,7 +242,8 @@ class Simulation:
         self.time = self.initial_time
         self.writer = OpenPMDWriter(
             inputs.query("hipace.file_prefix", "diags/hdf5", str),
-            self.normalized_units)
+            self.normalized_units,
+            backend=inputs.query("hipace.openpmd_backend", "h5", str))
 
         self._step_fn = jax.jit(partial(self._time_step))
 
@@ -505,23 +511,33 @@ class Simulation:
                     flip_charge=True)
                 rhomjz_ion = tmp["rhomjz"]
         fields = dict(fields, RhomJzIons={"rhomjz": rhomjz_ion})
-        # fine-level neutralizing background (tag by init position,
-        # ref Hipace.cpp:463-471)
+        # fine-level neutralizing background: deposit per level with the
+        # tag predicate (default) or interpolate from level 0
+        # (hipace.interpolate_neutralizing_background, ref Hipace.cpp:455-471)
         if cfg.mr_levels:
-            from ..fields.mr import in_level_bounds
+            from ..fields.mr import in_level_bounds, LevelCoupler
+            interp_bg = self.inputs.query(
+                "hipace.interpolate_neutralizing_background", False, bool)
+            parent_geom, parent_rhom = g, rhomjz_ion
             for i, lv in enumerate(cfg.mr_levels):
                 fion = fields[f"mr{i + 1}"]["RhomJzIons"]["rhomjz"]
-                for p, pcfg in zip(plasmas, self.plasma_cfgs):
-                    if pcfg.neutralize_background:
-                        tmp, _ = pl.deposit_plasma(
-                            p, ["rhomjz"], {"rhomjz": fion}, lv.geom, pcfg,
-                            self.pc, cfg.depos_order_xy,
-                            cfg.normalized_units, flip_charge=True,
-                            extra_mask=in_level_bounds(p["x"], p["y"],
-                                                       lv.geom), geom0=g)
-                        fion = tmp["rhomjz"]
+                if interp_bg:
+                    coup = LevelCoupler(parent_geom, lv.geom, self.dtype)
+                    fion = coup.up_full(parent_rhom)
+                else:
+                    for p, pcfg in zip(plasmas, self.plasma_cfgs):
+                        if pcfg.neutralize_background:
+                            tmp, _ = pl.deposit_plasma(
+                                p, ["rhomjz"], {"rhomjz": fion}, lv.geom,
+                                pcfg, self.pc, cfg.depos_order_xy,
+                                cfg.normalized_units, flip_charge=True,
+                                extra_mask=in_level_bounds(p["x"], p["y"],
+                                                           lv.geom),
+                                geom0=g)
+                            fion = tmp["rhomjz"]
                 fields[f"mr{i + 1}"] = dict(fields[f"mr{i + 1}"],
                                             RhomJzIons={"rhomjz": fion})
+                parent_geom, parent_rhom = lv.geom, fion
 
         carry = {
             "fields": fields,

@@ -244,3 +244,36 @@ def test_no_field_diag(tmp_path):
     sim.evolve()
     with _h5(pre) as f:
         assert "fields" not in f["data/0"]
+
+
+def test_json_backend_matches_h5(tmp_path):
+    """hipace.openpmd_backend=json mirrors the h5 output (ref
+    OpenPMDWriter.cpp:21-34 backend selection)."""
+    from hipace_tpu.diagnostics.openpmd import read_field, read_beam
+    pre_h = str(tmp_path / "dh")
+    pre_j = str(tmp_path / "dj")
+    sim_h = Simulation(Inputs(DECK, overrides=[
+        f"hipace.file_prefix={pre_h}"]), verbose=0)
+    sim_h.evolve()
+    sim_j = Simulation(Inputs(DECK, overrides=[
+        f"hipace.file_prefix={pre_j}", "hipace.openpmd_backend=json"]),
+        verbose=0)
+    sim_j.evolve()
+
+    ph = os.path.join(pre_h, "openpmd_000000.h5")
+    pj = os.path.join(pre_j, "openpmd_000000.json")
+    assert os.path.exists(pj)
+    for comp in ("Ez", "ExmBy"):
+        np.testing.assert_allclose(read_field(pj, 0, comp),
+                                   read_field(ph, 0, comp),
+                                   rtol=0, atol=0)
+    bh = read_beam(ph, 0, "beam")
+    bj = read_beam(pj, 0, "beam")
+    for k in ("x", "z", "uz", "w"):
+        np.testing.assert_allclose(bj[k], bh[k], rtol=0, atol=0)
+
+
+def test_bp_backend_raises():
+    with pytest.raises(RuntimeError, match="ADIOS2"):
+        Simulation(Inputs(DECK, overrides=[
+            "hipace.openpmd_backend=bp"]), verbose=0)

@@ -74,3 +74,16 @@ def test_missing_raises():
     inp = Inputs(DECK)
     with pytest.raises(KeyError):
         inp.get("not.there")
+
+
+def test_string_brace_interpolation():
+    """{...} in string parameters pastes my_constants / evaluates
+    expressions (ref parameters.rst:37-38)."""
+    inputs = Inputs("""
+my_constants.run = 3
+my_constants.tag = 0.5
+hipace.file_prefix = diags/run_{run}
+other.name = x_{2*run}_{tag}
+""")
+    assert inputs.query("hipace.file_prefix", "", str) == "diags/run_3"
+    assert inputs.query("other.name", "", str) == "x_6_0.5"
