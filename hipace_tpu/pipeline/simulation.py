@@ -150,6 +150,8 @@ class Simulation:
                 "hipace.depos_derivative_type", 2, int),
             do_beam_jx_jy_deposition=inputs.query(
                 "hipace.do_beam_jx_jy_deposition", True, bool),
+            do_beam_jz_minus_rho=inputs.query(
+                "hipace.do_beam_jz_minus_rho", False, bool),
             open_boundary=(inputs.query("boundary.field", "Dirichlet",
                                         str).lower() == "open"),
             deposit_rho=dep_rho,

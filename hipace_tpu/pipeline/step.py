@@ -140,6 +140,9 @@ class SimConfig:
     depos_order_xy: int = 2
     depos_derivative_type: int = 2
     do_beam_jx_jy_deposition: bool = True
+    # include the beam's rho - jz/c in the Psi source (for beams that are
+    # not ultra-relativistic; ref Hipace.cpp:853-857, parameters.rst:151)
+    do_beam_jz_minus_rho: bool = False
     deposit_rho: bool = False
     do_symmetrize: bool = False
     use_laser: bool = False
@@ -228,6 +231,8 @@ def init_field_state(cfg: SimConfig, dtype) -> dict:
     if cfg.explicit:
         this_comps = THIS_COMPS_EXPLICIT + (("rho",) if cfg.deposit_rho
                                             else ()) + rho_ind
+        if cfg.do_beam_jz_minus_rho:
+            this_comps = this_comps + ("rhomjz_beam",)
         if cfg.use_laser:
             this_comps = this_comps + ("aabs",)
         out = {
@@ -274,7 +279,10 @@ def _solve_psi_ez_bz(f_this, cfg: SimConfig, solver, ob=None):
         f_this["jx"] = sl.symmetrize(f_this["jx"], g, -1, 1)
         f_this["jy"] = sl.symmetrize(f_this["jy"], g, 1, -1)
 
-    rhs_psi = -1.0 / pc.ep0 * sl.interior(f_this["rhomjz"], g)
+    rhomjz_src = f_this["rhomjz"]
+    if cfg.explicit and cfg.do_beam_jz_minus_rho:
+        rhomjz_src = rhomjz_src + f_this["rhomjz_beam"]
+    rhs_psi = -1.0 / pc.ep0 * sl.interior(rhomjz_src, g)
     rhs_ez = (sl.ddx_interior(f_this["jx"], g)
               + sl.ddy_interior(f_this["jy"], g)) / (pc.ep0 * pc.c)
     rhs_bz = pc.mu0 * (sl.ddy_interior(f_this["jx"], g)
@@ -551,7 +559,8 @@ def make_slice_step(cfg: SimConfig, dtype):
         this = dict(f["This"])
         if cfg.explicit:
             zero_comps = ("chi", "Sy", "Sx", "ExmBy", "EypBx", "jz_beam",
-                          "rhomjz")
+                          "rhomjz") + (("rhomjz_beam",)
+                                       if cfg.do_beam_jz_minus_rho else ())
         else:
             zero_comps = ("ExmBy", "EypBx", "jx", "jy", "jz", "rhomjz")
         for c in zero_comps:
@@ -688,9 +697,13 @@ def make_slice_step(cfg: SimConfig, dtype):
         if cfg.beams:
             if cfg.explicit:
                 cmap = {"jz": "jz_beam"}
+                if cfg.do_beam_jz_minus_rho:
+                    cmap["rhomjz"] = "rhomjz_beam"
             else:
                 cmap = ({"jx": "jx", "jy": "jy", "jz": "jz"}
                         if cfg.do_beam_jx_jy_deposition else {"jz": "jz"})
+                if cfg.do_beam_jz_minus_rho:
+                    cmap["rhomjz"] = "rhomjz"
             this = bm.deposit_beam_slice(
                 xs["beam_this"], cmap, this, g, cfg.beams, pc,
                 order, cfg.normalized_units)
@@ -713,8 +726,11 @@ def make_slice_step(cfg: SimConfig, dtype):
                     bmask = in_level_bounds(xs["beam_this"]["x"],
                                             xs["beam_this"]["y"], lv.geom) \
                         & actives[i]
+                    fcmap = {"jz": "jz_beam"}
+                    if cfg.do_beam_jz_minus_rho:
+                        fcmap["rhomjz"] = "rhomjz_beam"
                     fth = bm.deposit_beam_slice(
-                        xs["beam_this"], {"jz": "jz_beam"}, fth, lv.geom,
+                        xs["beam_this"], fcmap, fth, lv.geom,
                         cfg.beams, pc, order, cfg.normalized_units,
                         extra_mask=bmask, geom0=g)
                 # AddRhoIons on the fine level
@@ -771,7 +787,10 @@ def make_slice_step(cfg: SimConfig, dtype):
                                              1, -G + 1)
                 fth["jy"] = coup.up_boundary(fth["jy"], parent["jy"],
                                              1, -G + 1)
-                rhs_psi = -1.0 / pc.ep0 * sl.interior(fth["rhomjz"], fg)
+                frhom = fth["rhomjz"]
+                if cfg.do_beam_jz_minus_rho:
+                    frhom = frhom + fth["rhomjz_beam"]
+                rhs_psi = -1.0 / pc.ep0 * sl.interior(frhom, fg)
                 rhs_ez = (sl.ddx_interior(fth["jx"], fg)
                           + sl.ddy_interior(fth["jy"], fg)) / (pc.ep0 * pc.c)
                 rhs_bz = pc.mu0 * (sl.ddy_interior(fth["jx"], fg)

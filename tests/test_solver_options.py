@@ -97,3 +97,51 @@ def test_density_table(tmp_path):
     sim.evolve(write_output=False)
     # t = 0, 4, 8, 12 -> c*t rounds up to 4, 4, 10, 20
     assert seen == ["1.0", "1.0", "2.0", "0.5*4."]
+
+
+def test_do_beam_jz_minus_rho():
+    """hipace.do_beam_jz_minus_rho adds the beam's rho - jz/c to the Psi
+    source (ref Hipace.cpp:853-857): significant for a slow beam,
+    negligible for an ultra-relativistic one."""
+    deck = """
+amr.n_cell = 32 32 16
+hipace.normalized_units = 1
+max_step = 0
+hipace.dt = 0.
+boundary.field = Dirichlet
+boundary.particle = Periodic
+geometry.prob_lo = -8. -8. -4.
+geometry.prob_hi =  8.  8.  2.
+beams.names = beam
+beam.injection_type = fixed_weight
+beam.num_particles = 5000
+beam.profile = gaussian
+beam.position_mean = 0. 0. -1.
+beam.position_std = 0.5 0.5 1.0
+beam.zmin = -3.9
+beam.zmax = 1.9
+beam.density = 1.
+beam.u_mean = 0. 0. {uz}
+beam.u_std = 0. 0. 0.
+plasmas.names = plasma
+plasma.density(x,y,z) = 1.
+plasma.ppc = 1 1
+plasma.element = electron
+diagnostic.output_period = 1
+"""
+
+    def exmby(uz, flag):
+        ov = [f"hipace.do_beam_jz_minus_rho={int(flag)}"]
+        sim = Simulation(Inputs(deck.format(uz=uz), overrides=ov), verbose=0)
+        res = sim.run_step(0)
+        return np.asarray(res["diag"][:, sim.cfg.diag_comps.index("ExmBy")])
+
+    slow_off = exmby(3.0, False)
+    slow_on = exmby(3.0, True)
+    fast_off = exmby(2000.0, False)
+    fast_on = exmby(2000.0, True)
+    d_slow = np.abs(slow_on - slow_off).max() / np.abs(slow_off).max()
+    d_fast = np.abs(fast_on - fast_off).max() / np.abs(fast_off).max()
+    assert d_slow > 0.03, f"slow-beam effect missing: {d_slow}"
+    assert d_fast < 0.01 * d_slow / 0.03, \
+        f"ultra-relativistic limit broken: {d_fast} vs {d_slow}"
