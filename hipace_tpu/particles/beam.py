@@ -55,6 +55,7 @@ class BeamConfig:
     do_z_push: bool = True
     do_salame: bool = False
     particle_boundary: str = "Absorbing"
+    particle_bounds: tuple | None = None
     dx_per_dzeta: float = 0.0
     # external fields: 6 expressions of (x,y,z,t) for Ex,Ey,Ez,Bx,By,Bz
     # (ref BeamParticleContainer.cpp:72-88, ExternalFields.H)
@@ -176,6 +177,14 @@ class BeamConfig:
             do_z_push=q("do_z_push", True, bool),
             do_salame=pp.query("do_salame", False, bool),
             particle_boundary=inputs.query("boundary.particle", "Absorbing", str),
+            particle_bounds=(
+                tuple(inputs.query_list("boundary.particle_lo", [], float)[:2])
+                + tuple(inputs.query_list("boundary.particle_hi", [],
+                                          float)[:2])
+                if len(inputs.query_list("boundary.particle_lo", [],
+                                         float)) >= 2
+                and len(inputs.query_list("boundary.particle_hi", [],
+                                          float)) >= 2 else None),
             use_external_fields=use_ext,
             external_fields_expr=ext_exprs,
             do_radiation_reaction=q("do_radiation_reaction", False, bool),
@@ -610,7 +619,8 @@ def advance_beam_slice(bp: dict, fields: dict, geom: Geometry,
         xh = x + dt * 0.5 * ux * gam_inv
         yh = y + dt * 0.5 * uy * gam_inv
         xh, yh, ux_b, uy_b, w_b, val_b = enforce_particle_bc(
-            xh, yh, ux, uy, w, valid, geom, cfg.particle_boundary)
+            xh, yh, ux, uy, w, valid, geom, cfg.particle_boundary,
+            bounds=getattr(cfg, "particle_bounds", None))
 
         exmby, eypbx, ez, bx, by, bz = gather_main_fields(
             xh, yh, fields["Psi"], fields["Ez"], fields["Bx"], fields["By"],

@@ -48,6 +48,9 @@ class PlasmaConfig:
     min_density: float = 0.0
     # boundary handling: "Periodic" | "Reflecting" | "Absorbing"
     particle_boundary: str = "Periodic"
+    # optional tighter particle box (lo0, lo1, hi0, hi1)
+    # (ref boundary.particle_lo/hi, parameters.rst:203-210)
+    particle_bounds: tuple | None = None
     density_expr: str = "1."
     consts: tuple = ()
     # field ionization (ref PlasmaParticleContainer.cpp:380-461)
@@ -73,6 +76,10 @@ class PlasmaConfig:
                     particle_boundary: str) -> "PlasmaConfig":
         pp = inputs.prefix(name)
         pa = inputs.prefix("plasmas")  # alt prefix shared by all species
+        pblo = inputs.query_list("boundary.particle_lo", [], float)
+        pbhi = inputs.query_list("boundary.particle_hi", [], float)
+        pbounds = (tuple(pblo[:2]) + tuple(pbhi[:2])
+                   if len(pblo) >= 2 and len(pbhi) >= 2 else None)
 
         def q(key, default, dtype=None):
             return pp.query(key, pa.query(key, default, dtype), dtype)
@@ -133,6 +140,7 @@ class PlasmaConfig:
             u_std=tuple(pp.query_list("u_std", [0.0, 0.0, 0.0])),
             min_density=q("min_density", 0.0),
             particle_boundary=particle_boundary,
+            particle_bounds=pbounds,
             density_expr=density_expr,
             consts=tuple(sorted((k, float(v)) for k, v in
                                 inputs.my_constants.items()
@@ -207,6 +215,9 @@ def init_plasma(cfg: PlasmaConfig, geom: Geometry, key, dtype,
              & (dens > cfg.min_density)
              & (rsq <= cfg.radius ** 2)
              & (rsq >= cfg.hollow_core_radius ** 2))
+    if cfg.particle_bounds is not None:
+        lo0, lo1, hi0, hi1 = cfg.particle_bounds
+        valid = valid & (x >= lo0) & (x < hi0) & (y >= lo1) & (y < hi1)
     w = jnp.where(valid, dens * w_scale, 0.0)
 
     if any(s != 0.0 for s in cfg.u_std):
@@ -372,10 +383,16 @@ def _second_order_substep(ux, uy, psi, sdz, fields, clight_inv, q_m_c):
     return u[0], u[1], u[2]
 
 
-def enforce_particle_bc(x, y, ux, uy, w, valid, geom: Geometry, mode: str):
-    """Transverse particle boundary (ref GetAndSetPosition.H:31-101)."""
-    lo0, lo1 = geom.prob_lo[0], geom.prob_lo[1]
-    hi0, hi1 = geom.prob_hi[0], geom.prob_hi[1]
+def enforce_particle_bc(x, y, ux, uy, w, valid, geom: Geometry, mode: str,
+                        bounds=None):
+    """Transverse particle boundary (ref GetAndSetPosition.H:31-101).
+    bounds: optional (lo0, lo1, hi0, hi1) override of the domain box
+    (ref boundary.particle_lo/hi, Hipace.cpp:217-231)."""
+    if bounds is not None:
+        lo0, lo1, hi0, hi1 = bounds
+    else:
+        lo0, lo1 = geom.prob_lo[0], geom.prob_lo[1]
+        hi0, hi1 = geom.prob_hi[0], geom.prob_hi[1]
     out = (x < lo0) | (x > hi0) | (y < lo1) | (y > hi1)
     if mode == "Periodic":
         lx, ly = hi0 - lo0, hi1 - lo1
@@ -661,7 +678,8 @@ def advance_plasma(p: dict, fields: dict, geom: Geometry, cfg: PlasmaConfig,
                 uy = uy + a_dz * hist[f"Fuy{i + 1}"]
                 psi = psi + a_dz * hist[f"Fpsi{i + 1}"]
             xnew, ynew, ux, uy, w, valid = enforce_particle_bc(
-                xnew, ynew, ux, uy, w, valid, geom, cfg.particle_boundary)
+                xnew, ynew, ux, uy, w, valid, geom, cfg.particle_boundary,
+                bounds=cfg.particle_bounds)
             x, y = xnew, ynew
             if not temp_slice:
                 ux_h, uy_h, psi_h = ux, uy, psi
@@ -679,7 +697,8 @@ def advance_plasma(p: dict, fields: dict, geom: Geometry, cfg: PlasmaConfig,
         xnew = xprev + dz * clight_inv * (ux / psi)
         ynew = yprev + dz * clight_inv * (uy / psi)
         xnew, ynew, ux, uy, w, valid = enforce_particle_bc(
-            xnew, ynew, ux, uy, w, valid, geom, cfg.particle_boundary)
+            xnew, ynew, ux, uy, w, valid, geom, cfg.particle_boundary,
+            bounds=cfg.particle_bounds)
         x, y = xnew, ynew
         if not temp_slice:
             ux_h, uy_h, psi_h = ux, uy, psi

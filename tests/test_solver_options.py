@@ -145,3 +145,38 @@ diagnostic.output_period = 1
     assert d_slow > 0.03, f"slow-beam effect missing: {d_slow}"
     assert d_fast < 0.01 * d_slow / 0.03, \
         f"ultra-relativistic limit broken: {d_fast} vs {d_slow}"
+
+
+def test_boundary_particle_box():
+    """boundary.particle_lo/hi restricts the plasma particle box at init
+    and applies the particle BC there (ref Hipace.cpp:217-231,
+    PlasmaParticleContainerInit.cpp:30-35)."""
+    import jax
+    import jax.numpy as jnp
+    from hipace_tpu.particles import plasma as pl
+    from hipace_tpu.constants import make_constants
+    from hipace_tpu.geometry import Geometry
+
+    inputs = Inputs("""
+boundary.particle_lo = -3. -2.
+boundary.particle_hi =  3.  2.
+plasma.density(x,y,z) = 1.
+plasma.ppc = 1 1
+plasma.element = electron
+""")
+    pc = make_constants(True)
+    cfg = pl.PlasmaConfig.from_inputs(inputs, "plasma", pc, "Absorbing")
+    assert cfg.particle_bounds == (-3.0, -2.0, 3.0, 2.0)
+    g = Geometry(n_cell=(32, 32, 8), prob_lo=(-8., -8., -4.),
+                 prob_hi=(8., 8., 2.))
+    p = pl.init_plasma(cfg, g, jax.random.PRNGKey(0), jnp.float64, 0.0, True)
+    x = np.asarray(p["x"])[np.asarray(p["valid"])]
+    y = np.asarray(p["y"])[np.asarray(p["valid"])]
+    assert x.min() >= -3.0 and x.max() < 3.0
+    assert y.min() >= -2.0 and y.max() < 2.0
+    # absorbing BC at the tighter box
+    xo, yo, ux, uy, w, valid = pl.enforce_particle_bc(
+        jnp.asarray([2.9, 3.1, 0.0]), jnp.asarray([0.0, 0.0, -2.5]),
+        jnp.zeros(3), jnp.zeros(3), jnp.ones(3),
+        jnp.ones(3, bool), g, "Absorbing", bounds=cfg.particle_bounds)
+    assert list(np.asarray(valid)) == [True, False, False]
