@@ -163,3 +163,40 @@ def test_mr_fine_poisson_with_coarse_bc():
     ut_f = ut[np.ix_(iyt, ixt)]
     err = np.abs(uf - ut_f).max() / np.abs(ut_f).max()
     assert err < 0.02, f"fine-with-BC vs truth err {err}"
+
+
+def test_mr_two_levels_smoke():
+    """amr.max_level = 2: both fine levels run, solve, and roughly agree
+    with each other inside the lev2 patch."""
+    deck = BASE.format(nx=32, extra="""amr.max_level = 2
+mr_lev1.n_cell = 32 32
+mr_lev1.patch_lo = -2. -2. -4.
+mr_lev1.patch_hi =  2.  2.  0.
+mr_lev2.n_cell = 32 32
+mr_lev2.patch_lo = -0.9 -0.9 -3.
+mr_lev2.patch_hi =  0.9  0.9 -1.
+plasma.fine_patch(x,y) = (abs(x)<2.3)*(abs(y)<2.3)
+plasma.fine_ppc = 8 8
+diagnostic.names = lev0 lev1 lev2
+lev1.base_geometry = level_1
+lev1.field_data = Ez
+lev2.base_geometry = level_2
+lev2.field_data = Ez
+""")
+    sim = Simulation(Inputs(deck), verbose=0)
+    assert len(sim.mr_levels) == 2
+    res = sim.run_step(0)
+    lv2 = sim.mr_levels[1]
+    g1, g2 = sim.mr_levels[0].geom, lv2.geom
+    z = (lv2.zeta_lo + lv2.zeta_hi) // 2
+    ez1 = np.asarray(res["diagf_lev1"][z, 0])
+    ez2 = np.asarray(res["diagf_lev2"][z, 0])
+    assert np.isfinite(ez2).all()
+    # sample lev1 at lev2 cell centers (2nd-order-ish comparison)
+    x2 = (np.arange(g2.nx) + 0.5) * g2.dx + g2.prob_lo[0]
+    i1 = np.clip(((x2 - g1.prob_lo[0]) / g1.dx - 0.5).round().astype(int),
+                 0, g1.nx - 1)
+    ez1_on2 = ez1[np.ix_(i1, i1)]
+    den = max(np.abs(ez1_on2).max(), 1e-30)
+    err = np.abs(ez2 - ez1_on2).max() / den
+    assert err < 0.35, f"lev2 vs lev1 disagreement {err}"
