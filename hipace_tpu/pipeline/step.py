@@ -500,8 +500,6 @@ def make_slice_step(cfg: SimConfig, dtype):
         assert cfg.explicit, "mesh refinement requires the explicit solver"
         assert not cfg.use_banded, \
             "banded kernels not supported with mesh refinement yet"
-        assert not cfg.use_laser, \
-            "laser + mesh refinement not supported yet"
         assert not cfg.salame_active, "SALAME + MR not supported yet"
         from ..fields.mr import LevelCoupler, in_level_bounds
         couplers, fine_solvers, fine_mgs = [], [], []
@@ -714,13 +712,20 @@ def make_slice_step(cfg: SimConfig, dtype):
             for i, lv in enumerate(mr):
                 coup = couplers[i]
                 fth = fine_f[i]["This"]
+                if cfg.use_laser:
+                    # aabs to the fine level from its parent
+                    # (ref MultiLaser.cpp:289-291 LevelUp of aabs)
+                    parent_aabs = (this["aabs"] if i == 0
+                                   else fine_f[i - 1]["This"]["aabs"])
+                    fth = dict(fth)
+                    fth["aabs"] = coup.up_full(parent_aabs)
                 for p, pcfg, tg in zip(plasmas, cfg.plasmas, plasma_tags):
                     comps = base_comps + (
                         [f"rho_{pcfg.name}"] if cfg.deposit_rho_individual
                         else [])
                     fth, _ = pl.deposit_plasma(
                         p, comps, fth, lv.geom, pcfg, pc, order,
-                        cfg.normalized_units, use_laser=False,
+                        cfg.normalized_units, use_laser=cfg.use_laser,
                         extra_mask=(tg >= i + 1), geom0=g)
                 if cfg.beams:
                     bmask = in_level_bounds(xs["beam_this"]["x"],
@@ -882,7 +887,7 @@ def make_slice_step(cfg: SimConfig, dtype):
                         fth = pl.explicit_deposition(
                             p, fth, fg, pcfg, pc, order,
                             cfg.depos_derivative_type,
-                            cfg.normalized_units, use_laser=False,
+                            cfg.normalized_units, use_laser=cfg.use_laser,
                             extra_mask=(tg >= i + 1), geom0=g)
                     # edge compensation from the parent
                     # (ref Hipace.cpp:823-829)

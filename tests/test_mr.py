@@ -200,3 +200,50 @@ lev2.field_data = Ez
     den = max(np.abs(ez1_on2).max(), 1e-30)
     err = np.abs(ez2 - ez1_on2).max() / den
     assert err < 0.35, f"lev2 vs lev1 disagreement {err}"
+
+
+def test_mr_with_laser_smoke():
+    """Laser-driven wake + fine level: aabs propagates to the fine level
+    (ref MultiLaser.cpp:289-291) and the fine solve stays finite."""
+    deck = """
+amr.n_cell = 24 24 24
+amr.max_level = 1
+mr_lev1.n_cell = 24 24
+mr_lev1.patch_lo = -2.5e-5 -2.5e-5 -6.e-5
+mr_lev1.patch_hi =  2.5e-5  2.5e-5  0.
+hipace.normalized_units = 0
+max_step = 0
+hipace.dt = 10.e-6/clight
+my_constants.kp_inv = 10.e-6
+geometry.prob_lo = -8.*kp_inv -8.*kp_inv -8.*kp_inv
+geometry.prob_hi =  8.*kp_inv  8.*kp_inv  6.*kp_inv
+boundary.field = Dirichlet
+boundary.particle = Periodic
+lasers.names = laser
+lasers.lambda0 = .8e-6
+lasers.solver_type = fft
+laser.a0 = 1.5
+laser.position_mean = 0. 0. 0.
+laser.w0 = 2.*kp_inv
+laser.L0 = 2.*kp_inv
+plasmas.names = plasma
+plasma.density(x,y,z) = 1.1027e24
+plasma.ppc = 2 2
+plasma.fine_patch(x,y) = (abs(x)<3.e-5)*(abs(y)<3.e-5)
+plasma.fine_ppc = 4 4
+plasma.element = electron
+beams.names = no_beam
+diagnostic.output_period = 1
+diagnostic.names = lev0 lev1
+lev1.base_geometry = level_1
+lev1.field_data = Ez
+"""
+    sim = Simulation(Inputs(deck), verbose=0)
+    res = sim.run_step(0)
+    lv = sim.mr_levels[0]
+    z = (lv.zeta_lo + lv.zeta_hi) // 2
+    ez1 = np.asarray(res["diagf_lev1"][z, 0])
+    ez0 = np.asarray(res["diag"][z, sim.cfg.diag_comps.index("Ez")])
+    assert np.isfinite(ez1).all()
+    assert np.abs(ez1).max() > 0.1 * np.abs(ez0).max(), \
+        "fine level missed the laser wake"
