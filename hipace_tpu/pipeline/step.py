@@ -256,7 +256,7 @@ def init_field_state(cfg: SimConfig, dtype) -> dict:
                                   else ()) + rho_ind
     if cfg.use_laser:
         this_comps = this_comps + ("chi", "aabs")
-    return {
+    out = {
         "This": sl.make_field_set(this_comps, g, dtype),
         "Next": sl.make_field_set(("jx", "jy"), g, dtype),
         "Previous": sl.make_field_set(("Bx", "By", "jx", "jy"), g, dtype),
@@ -264,6 +264,17 @@ def init_field_state(cfg: SimConfig, dtype) -> dict:
         "PCPrevIter": sl.make_field_set(("Bx", "By"), g, dtype),
         "RhomJzIons": sl.make_field_set(("rhomjz",), g, dtype),
     }
+    for i, lv in enumerate(cfg.mr_levels):
+        out[f"mr{i + 1}"] = {
+            "This": sl.make_field_set(this_comps, lv.geom, dtype),
+            "Next": sl.make_field_set(("jx", "jy"), lv.geom, dtype),
+            "Previous": sl.make_field_set(("Bx", "By", "jx", "jy"),
+                                          lv.geom, dtype),
+            "PCIter": sl.make_field_set(("Bx", "By"), lv.geom, dtype),
+            "PCPrevIter": sl.make_field_set(("Bx", "By"), lv.geom, dtype),
+            "RhomJzIons": sl.make_field_set(("rhomjz",), lv.geom, dtype),
+        }
+    return out
 
 
 # ----------------------------------------------------------------------
@@ -357,8 +368,17 @@ def _rel_b_field_error(bx, by, bx_it, by_it, geom):
     return jnp.where(b > 0.0, bd / b, 0.0)
 
 
-def _pc_bxby_solve(f, plasmas, beam_next, cfg: SimConfig, solver, ob=None):
-    """PredictorCorrectorLoopToSolveBxBy (ref Hipace.cpp:936-1031)."""
+def _pc_bxby_solve(f, plasmas, beam_next, cfg: SimConfig, solver, ob=None,
+                   mrctx=None):
+    """PredictorCorrectorLoopToSolveBxBy (ref Hipace.cpp:936-1031).
+
+    mrctx (mesh refinement): (mr, couplers, fine_solvers, fine_f, actives,
+    plasma_tags) — the fine levels iterate inside the same while_loop with
+    Dirichlet BCs interpolated from the coarse PCIter solution of the same
+    iteration (ref Fields.cpp:1008-1078 lev>0 path); the error norm sums
+    over levels (ref Fields.cpp:1228-1286). Updated fine_f entries are
+    written back in place.
+    """
     g = cfg.geom
     pc = cfg.pc
     order = cfg.depos_order_xy
@@ -368,17 +388,57 @@ def _pc_bxby_solve(f, plasmas, beam_next, cfg: SimConfig, solver, ob=None):
     this = f["This"]
     prev = f["Previous"]
     ppi = f["PCPrevIter"]
+    if mrctx is not None:
+        from ..fields.mr import in_level_bounds
+        mr, couplers, fine_solvers, fine_f, actives, plasma_tags = mrctx
+    else:
+        mr = ()
 
-    # initial guess (ref Fields.cpp:1149-1171)
-    err0 = _rel_b_field_error(prev["Bx"], prev["By"], ppi["Bx"], ppi["By"], g)
+    def _norm_pair(bx, by, bx_it, by_it, geom):
+        b = jnp.sum(jnp.sqrt(sl.interior(bx, geom) ** 2
+                             + sl.interior(by, geom) ** 2))
+        bd = jnp.sum(jnp.sqrt(sl.interior(bx - bx_it, geom) ** 2
+                              + sl.interior(by - by_it, geom) ** 2))
+        return b, bd
+
+    def multi_err(coarse_pair, fine_pairs):
+        b, bd = _norm_pair(*coarse_pair, g)
+        for i, pair in enumerate(fine_pairs):
+            fb, fbd = _norm_pair(*pair, mr[i].geom)
+            act = actives[i].astype(fb.dtype)
+            b = b + act * fb
+            bd = bd + act * fbd
+        return jnp.where(b > 0.0, bd / b, 0.0)
+
+    # initial guess (ref Fields.cpp:1149-1171), same mixing factor for all
+    # levels (the reference computes one error over all levels)
+    err0 = multi_err(
+        (prev["Bx"], prev["By"], ppi["Bx"], ppi["By"]),
+        [(fine_f[i]["Previous"]["Bx"], fine_f[i]["Previous"]["By"],
+          fine_f[i]["PCPrevIter"]["Bx"], fine_f[i]["PCPrevIter"]["By"])
+         for i in range(len(mr))])
     mixf = jnp.exp(-0.5 * (err0 / (2.5 * tol)) ** 2)
-    bx = (1.0 + mixf) * prev["Bx"] - mixf * ppi["Bx"]
-    by = (1.0 + mixf) * prev["By"] - mixf * ppi["By"]
-    ppx, ppy = bx, by
-    pcx = jnp.zeros_like(bx)
-    pcy = jnp.zeros_like(by)
+
+    def guess(prev_d, ppi_d):
+        bx = (1.0 + mixf) * prev_d["Bx"] - mixf * ppi_d["Bx"]
+        by = (1.0 + mixf) * prev_d["By"] - mixf * ppi_d["By"]
+        return bx, by, bx, by, jnp.zeros_like(bx), jnp.zeros_like(by)
+
+    bx, by, ppx, ppy, pcx, pcy = guess(prev, ppi)
+    fstate0 = tuple(guess(fine_f[i]["Previous"], fine_f[i]["PCPrevIter"])
+                    for i in range(len(mr)))
 
     jz = this["jz"]
+    G = g.nguards
+    if mr:
+        # This jz is constant over the iteration: band-correct it once
+        # (ref Fields.cpp:1029-1031)
+        for i in range(len(mr)):
+            fth = dict(fine_f[i]["This"])
+            parent_jz = jz if i == 0 else fine_f[i - 1]["This"]["jz"]
+            fth["jz"] = couplers[i].up_boundary(fth["jz"], parent_jz,
+                                                1, -G + 1)
+            fine_f[i]["This"] = fth
     rhs_bx_static = -pc.mu0 * sl.ddy_interior(jz, g)
     rhs_by_static = pc.mu0 * sl.ddx_interior(jz, g)
     dz2_inv = 1.0 / (2.0 * g.dz)
@@ -386,26 +446,51 @@ def _pc_bxby_solve(f, plasmas, beam_next, cfg: SimConfig, solver, ob=None):
     prev_jy_i = sl.interior(prev["jy"], g)
 
     def body(state):
-        bx, by, pcx, pcy, ppx, ppy, err, err_prev, it = state
+        (bx, by, pcx, pcy, ppx, ppy), fstates, err, err_prev, it = state
         fields_it = dict(this, Bx=bx, By=by)
+        fine_fields_it = tuple(
+            (dict(fine_f[i]["This"], Bx=fstates[i][0], By=fstates[i][1]),
+             mr[i].geom)
+            for i in range(len(mr)))
         # temp plasma push + jx/jy deposit on the temp Next slice
         nxt_jx = jnp.zeros_like(jz)
         nxt_jy = jnp.zeros_like(jz)
         nxt = {"jx": nxt_jx, "jy": nxt_jy}
+        fnxt = [{"jx": jnp.zeros(mr[i].geom.slice_shape, jz.dtype),
+                 "jy": jnp.zeros(mr[i].geom.slice_shape, jz.dtype)}
+                for i in range(len(mr))]
         banded = (cfg.banded_W, cfg.banded_K) if cfg.use_banded else None
-        for p, pcfg in zip(plasmas, cfg.plasmas):
-            p_tmp = pl.advance_plasma(p, fields_it, g, pcfg, pc,
-                                      temp_slice=True, order=order,
-                                      use_laser=cfg.use_laser, banded=banded,
-                                      pusher=cfg.plasma_pusher)
+        for ip, (p, pcfg) in enumerate(zip(plasmas, cfg.plasmas)):
+            if mr:
+                p_tmp = pl.advance_plasma(
+                    p, fields_it, g, pcfg, pc, temp_slice=True, order=order,
+                    use_laser=cfg.use_laser, fine_levels=fine_fields_it,
+                    tag=plasma_tags[ip], pusher=cfg.plasma_pusher)
+            else:
+                p_tmp = pl.advance_plasma(
+                    p, fields_it, g, pcfg, pc, temp_slice=True, order=order,
+                    use_laser=cfg.use_laser, banded=banded,
+                    pusher=cfg.plasma_pusher)
             nxt, _ = pl.deposit_plasma(p_tmp, ["jx", "jy"], nxt, g, pcfg, pc,
                                        order, cfg.normalized_units,
                                        use_laser=False, banded=banded)
+            for i in range(len(mr)):
+                fnxt[i], _ = pl.deposit_plasma(
+                    p_tmp, ["jx", "jy"], fnxt[i], mr[i].geom, pcfg, pc,
+                    order, cfg.normalized_units, use_laser=False,
+                    extra_mask=(plasma_tags[ip] >= i + 1), geom0=g)
         if cfg.do_beam_jx_jy_deposition and cfg.beams:
             for bcfg in cfg.beams:
                 nxt = bm.deposit_beam_slice(beam_next, {"jx": "jx", "jy": "jy"},
                                             nxt, g, bcfg, pc, order,
                                             cfg.normalized_units)
+            for i in range(len(mr)):
+                bmask = in_level_bounds(beam_next["x"], beam_next["y"],
+                                        mr[i].geom) & actives[i]
+                fnxt[i] = bm.deposit_beam_slice(
+                    beam_next, {"jx": "jx", "jy": "jy"}, fnxt[i],
+                    mr[i].geom, cfg.beams, pc, order, cfg.normalized_units,
+                    extra_mask=bmask, geom0=g)
         # SolvePoissonBxBy (ref Fields.cpp:1008-1078)
         rhs_bx = rhs_bx_static + pc.mu0 * dz2_inv * (
             prev_jy_i - sl.interior(nxt["jy"], g))
@@ -418,27 +503,75 @@ def _pc_bxby_solve(f, plasmas, beam_next, cfg: SimConfig, solver, ob=None):
         pcx = sl.set_interior(pcx, sol[0], g)
         pcy = sl.set_interior(pcy, sol[1], g)
 
-        err_new = _rel_b_field_error(bx, by, pcx, pcy, g)
+        new_fstates = []
+        parent_pc = (pcx, pcy)
+        for i in range(len(mr)):
+            coup = couplers[i]
+            fg = mr[i].geom
+            fl = fine_f[i]
+            fbx, fby, fpcx, fpcy, fppx, fppy = fstates[i]
+            # edge compensation of the temp Next currents
+            fjx = coup.up_boundary(fnxt[i]["jx"], nxt["jx"] if i == 0
+                                   else fnxt[i - 1]["jx"], 0, -G)
+            fjy = coup.up_boundary(fnxt[i]["jy"], nxt["jy"] if i == 0
+                                   else fnxt[i - 1]["jy"], 0, -G)
+            fjz = fl["This"]["jz"]
+            frhs_bx = (-pc.mu0 * sl.ddy_interior(fjz, fg)
+                       + pc.mu0 * dz2_inv
+                       * (sl.interior(fl["Previous"]["jy"], fg)
+                          - sl.interior(fjy, fg)))
+            frhs_by = (pc.mu0 * sl.ddx_interior(fjz, fg)
+                       - pc.mu0 * dz2_inv
+                       * (sl.interior(fl["Previous"]["jx"], fg)
+                          - sl.interior(fjx, fg)))
+            frhs_bx = coup.apply_bc(frhs_bx, parent_pc[0], 1.0, 1.0)
+            frhs_by = coup.apply_bc(frhs_by, parent_pc[1], 1.0, 1.0)
+            fsol = fine_solvers[i].solve(jnp.stack([frhs_bx, frhs_by]))
+            fpcx = sl.set_interior(fpcx, fsol[0], fg)
+            fpcy = sl.set_interior(fpcy, fsol[1], fg)
+            fpcx = coup.up_boundary(fpcx, parent_pc[0], G, 0)
+            fpcy = coup.up_boundary(fpcy, parent_pc[1], G, 0)
+            new_fstates.append((fbx, fby, fpcx, fpcy, fppx, fppy))
+            parent_pc = (fpcx, fpcy)
+        fstates = tuple(new_fstates)
+
+        err_new = multi_err(
+            (bx, by, pcx, pcy),
+            [(fs[0], fs[1], fs[2], fs[3]) for fs in fstates])
         err_prev = jnp.where(it == 0, err_new, err_prev)
-        # MixAndShiftBfields (ref Fields.cpp:1173-1226)
+        # MixAndShiftBfields (ref Fields.cpp:1173-1226), shared weights
         denom = err_new + err_prev
         w_it = jnp.where(denom > 0.0, err_prev / jnp.maximum(denom, 1e-30), 0.5)
         w_pp = jnp.where(denom > 0.0, err_new / jnp.maximum(denom, 1e-30), 0.5)
-        ppx_m = w_it * pcx + w_pp * ppx
-        ppy_m = w_it * pcy + w_pp * ppy
-        bx = (1.0 - mix) * bx + mix * ppx_m
-        by = (1.0 - mix) * by + mix * ppy_m
-        return (bx, by, pcx, pcy, pcx, pcy, err_new, err_new, it + 1)
+
+        def mix_one(bx, by, pcx, pcy, ppx, ppy):
+            ppx_m = w_it * pcx + w_pp * ppx
+            ppy_m = w_it * pcy + w_pp * ppy
+            nbx = (1.0 - mix) * bx + mix * ppx_m
+            nby = (1.0 - mix) * by + mix * ppy_m
+            return (nbx, nby, pcx, pcy, pcx, pcy)
+
+        bx, by, pcx, pcy, ppx, ppy = mix_one(bx, by, pcx, pcy, ppx, ppy)
+        fstates = tuple(mix_one(*fs) for fs in fstates)
+        return ((bx, by, pcx, pcy, ppx, ppy), fstates, err_new, err_new,
+                it + 1)
 
     def cond(state):
-        *_, err, _err_prev, it = state
+        _, _, err, _err_prev, it = state
         return (err > tol) & (it < cfg.predcorr_max_iterations)
 
-    state0 = (bx, by, pcx, pcy, ppx, ppy,
+    state0 = ((bx, by, pcx, pcy, ppx, ppy), fstate0,
               jnp.asarray(1.0, bx.dtype), jnp.asarray(1.0, bx.dtype),
               jnp.zeros((), jnp.int32))
-    bx, by, pcx, pcy, ppx, ppy, err, _, n_iter = jax.lax.while_loop(
+    (cstate, fstates, err, _, n_iter) = jax.lax.while_loop(
         cond, body, state0)
+    bx, by, pcx, pcy, ppx, ppy = cstate
+
+    for i in range(len(mr)):
+        fbx, fby, fpcx, fpcy, fppx, fppy = fstates[i]
+        fine_f[i]["This"] = dict(fine_f[i]["This"], Bx=fbx, By=fby)
+        fine_f[i]["PCPrevIter"] = {"Bx": fppx, "By": fppy}
+        fine_f[i]["PCIter"] = {"Bx": fpcx, "By": fpcy}
 
     this = dict(this, Bx=bx, By=by)
     return dict(f, This=this, PCPrevIter={"Bx": ppx, "By": ppy},
@@ -497,7 +630,6 @@ def make_slice_step(cfg: SimConfig, dtype):
     mg = MultiGrid(g.nx, g.ny, g.dx, g.dy, dtype) if cfg.explicit else None
     mr = cfg.mr_levels
     if mr:
-        assert cfg.explicit, "mesh refinement requires the explicit solver"
         assert not cfg.use_banded, \
             "banded kernels not supported with mesh refinement yet"
         assert not cfg.salame_active, "SALAME + MR not supported yet"
@@ -588,18 +720,35 @@ def make_slice_step(cfg: SimConfig, dtype):
                 ent = entries[i]
                 fth = fl["This"]
                 fpv = fl["Previous"]
-                # first slice of the level: interpolate the shifted beam
-                # currents from the parent; Bx/By restart from zero (the
-                # reference zeroes all slices at step start)
-                for c in ("jx_beam", "jy_beam"):
-                    fth[c] = jnp.where(ent, coup.up_full(parent_this[c]),
-                                       fth[c])
-                    fpv[c] = jnp.where(ent, coup.up_full(parent_prev[c]),
-                                       fpv[c])
-                fth["jx"] = jnp.where(ent, fth["jx_beam"], fth["jx"])
-                fth["jy"] = jnp.where(ent, fth["jy_beam"], fth["jy"])
-                for c in ("Bx", "By"):
-                    fth[c] = jnp.where(ent, jnp.zeros_like(fth[c]), fth[c])
+                if cfg.explicit:
+                    # first slice of the level: interpolate the shifted beam
+                    # currents from the parent; Bx/By restart from zero (the
+                    # reference zeroes all slices at step start)
+                    for c in ("jx_beam", "jy_beam"):
+                        fth[c] = jnp.where(ent, coup.up_full(parent_this[c]),
+                                           fth[c])
+                        fpv[c] = jnp.where(ent, coup.up_full(parent_prev[c]),
+                                           fpv[c])
+                    fth["jx"] = jnp.where(ent, fth["jx_beam"], fth["jx"])
+                    fth["jy"] = jnp.where(ent, fth["jy_beam"], fth["jy"])
+                    for c in ("Bx", "By"):
+                        fth[c] = jnp.where(ent, jnp.zeros_like(fth[c]),
+                                           fth[c])
+                else:
+                    # PC entry (ref Fields.cpp:562-575): interpolate the
+                    # B-field history and previous currents from the parent
+                    parent_ppi = (f["PCPrevIter"] if i == 0
+                                  else fine_f[i - 1]["PCPrevIter"])
+                    fppi = fl["PCPrevIter"]
+                    for c in ("Bx", "By"):
+                        fppi[c] = jnp.where(
+                            ent, coup.up_full(parent_ppi[c]), fppi[c])
+                        fpv[c] = jnp.where(
+                            ent, coup.up_full(parent_prev[c]), fpv[c])
+                    for c in ("jx", "jy"):
+                        fpv[c] = jnp.where(
+                            ent, coup.up_full(parent_prev[c]), fpv[c])
+                    fl["PCPrevIter"] = fppi
                 for c in zero_comps:
                     fth[c] = jnp.zeros_like(fth[c])
                 if cfg.deposit_rho:
@@ -731,9 +880,16 @@ def make_slice_step(cfg: SimConfig, dtype):
                     bmask = in_level_bounds(xs["beam_this"]["x"],
                                             xs["beam_this"]["y"], lv.geom) \
                         & actives[i]
-                    fcmap = {"jz": "jz_beam"}
-                    if cfg.do_beam_jz_minus_rho:
-                        fcmap["rhomjz"] = "rhomjz_beam"
+                    if cfg.explicit:
+                        fcmap = {"jz": "jz_beam"}
+                        if cfg.do_beam_jz_minus_rho:
+                            fcmap["rhomjz"] = "rhomjz_beam"
+                    else:
+                        fcmap = ({"jx": "jx", "jy": "jy", "jz": "jz"}
+                                 if cfg.do_beam_jx_jy_deposition
+                                 else {"jz": "jz"})
+                        if cfg.do_beam_jz_minus_rho:
+                            fcmap["rhomjz"] = "rhomjz"
                     fth = bm.deposit_beam_slice(
                         xs["beam_this"], fcmap, fth, lv.geom,
                         cfg.beams, pc, order, cfg.normalized_units,
@@ -793,7 +949,7 @@ def make_slice_step(cfg: SimConfig, dtype):
                 fth["jy"] = coup.up_boundary(fth["jy"], parent["jy"],
                                              1, -G + 1)
                 frhom = fth["rhomjz"]
-                if cfg.do_beam_jz_minus_rho:
+                if cfg.explicit and cfg.do_beam_jz_minus_rho:
                     frhom = frhom + fth["rhomjz_beam"]
                 rhs_psi = -1.0 / pc.ep0 * sl.interior(frhom, fg)
                 rhs_ez = (sl.ddx_interior(fth["jx"], fg)
@@ -961,8 +1117,10 @@ def make_slice_step(cfg: SimConfig, dtype):
                 extra_ys["salame_W"] = new_sal["W_last"]
                 extra_ys["salame_dbg"] = new_sal["dbg"]
         else:
+            mrctx = ((mr, couplers, fine_solvers, fine_f, actives,
+                      plasma_tags) if mr else None)
             f, pc_err, pc_iters = _pc_bxby_solve(
-                f, plasmas, xs["beam_next"], cfg, solver, ob)
+                f, plasmas, xs["beam_next"], cfg, solver, ob, mrctx=mrctx)
             this = f["This"]
 
         # ---- per-slice diagnostics (ref Diagnostic.cpp + Fields::Copy)
@@ -1145,6 +1303,16 @@ def make_slice_step(cfg: SimConfig, dtype):
             new_prev = {"Bx": this["Bx"], "By": this["By"],
                         "jx": this["jx"], "jy": this["jy"]}
             f = dict(f, Previous=new_prev, PCPrevIter=new_pp)
+            if mr:
+                for i in range(len(mr)):
+                    fl = fine_f[i]
+                    fth = fl["This"]
+                    fnew_pp = {"Bx": fl["Previous"]["Bx"],
+                               "By": fl["Previous"]["By"]}
+                    fnew_prev = {"Bx": fth["Bx"], "By": fth["By"],
+                                 "jx": fth["jx"], "jy": fth["jy"]}
+                    f[f"mr{i + 1}"] = dict(fl, Previous=fnew_prev,
+                                           PCPrevIter=fnew_pp)
 
         if cfg.use_banded:
             # window-overflow safety net: nonzero means banded_W is too small

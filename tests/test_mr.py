@@ -247,3 +247,36 @@ lev1.field_data = Ez
     assert np.isfinite(ez1).all()
     assert np.abs(ez1).max() > 0.1 * np.abs(ez0).max(), \
         "fine level missed the laser wake"
+
+
+def test_mr_predictor_corrector():
+    """MR with the predictor-corrector solver (ref Hipace.cpp:936-1031
+    current_N_level loop, Fields.cpp:1008-1078 per-level B solves): the
+    fine level must reproduce the uniformly-fine PC truth far better than
+    the coarse-only PC run does."""
+    ov = ["hipace.bxby_solver=predictor-corrector"]
+    s_mr = Simulation(Inputs(BASE.format(nx=32, extra=MR), overrides=ov),
+                      verbose=0)
+    r_mr = s_mr.run_step(0)
+    s_tr = Simulation(Inputs(BASE.format(nx=128, extra=""), overrides=ov),
+                      verbose=0)
+    r_tr = s_tr.run_step(0)
+    s_co = Simulation(Inputs(BASE.format(nx=32, extra=""), overrides=ov),
+                      verbose=0)
+    r_co = s_co.run_step(0)
+
+    gf = s_mr.mr_levels[0].geom
+    xt = (np.arange(gf.nx) + 0.5) * gf.dx + gf.prob_lo[0]
+    it = np.round((xt + 8.0) / 0.125 - 0.5).astype(int)
+    itc = np.round((xt + 8.0) / 0.5 - 0.5).astype(int)
+    cc = s_tr.cfg.diag_comps.index("Ez")
+    for z in (14, 7):
+        fine = np.asarray(r_mr["diagf_lev1"][z, 0])
+        truth = np.asarray(r_tr["diag"][z, cc])[np.ix_(it, it)]
+        coarse = np.asarray(r_co["diag"][z, cc])[np.ix_(itc, itc)]
+        den = np.abs(truth).max()
+        err_fine = np.abs(fine - truth).max() / den
+        err_coarse = np.abs(coarse - truth).max() / den
+        assert err_fine < 0.06, f"z={z}: PC fine err {err_fine}"
+        assert err_fine < 0.2 * err_coarse, \
+            f"z={z}: PC fine {err_fine} vs coarse {err_coarse}"
