@@ -118,6 +118,22 @@ def make_pipelined_evolve(cfg, dtype, n_devices: int, beam_cap: int,
                     cfg.depos_order_xy, cfg.normalized_units, flip_charge=True)
                 rhom = tmp["rhomjz"]
         fields = dict(fields, RhomJzIons={"rhomjz": rhom})
+        # fine-level neutralizing background (same as the serial driver)
+        if cfg.mr_levels:
+            from ..fields.mr import in_level_bounds
+            for i, lv in enumerate(cfg.mr_levels):
+                fion = fields[f"mr{i + 1}"]["RhomJzIons"]["rhomjz"]
+                for p, pcfg in zip(plasmas, cfg.plasmas):
+                    if pcfg.neutralize_background:
+                        tmp, _ = pl.deposit_plasma(
+                            p, ["rhomjz"], {"rhomjz": fion}, lv.geom, pcfg,
+                            cfg.pc, cfg.depos_order_xy, cfg.normalized_units,
+                            flip_charge=True,
+                            extra_mask=in_level_bounds(p["x"], p["y"],
+                                                       lv.geom), geom0=g)
+                        fion = tmp["rhomjz"]
+                fields[f"mr{i + 1}"] = dict(fields[f"mr{i + 1}"],
+                                            RhomJzIons={"rhomjz": fion})
 
         recv_buf = {k: jnp.zeros((nz, cap2), binned0[k].dtype)
                     for k in _STREAM_KEYS}

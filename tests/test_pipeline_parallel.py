@@ -166,3 +166,49 @@ def test_pipelined_laser_matches_serial():
                        (stream[1], pip_stream[1], "n00")):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-9, atol=1e-12, err_msg=name)
+
+
+MR_DECK = DECK + """
+amr.max_level = 1
+mr_lev1.n_cell = 16 16
+mr_lev1.patch_lo = -2. -2. -4.
+mr_lev1.patch_hi =  2.  2.  0.
+plasma.fine_patch(x,y) = (abs(x)<2.4)*(abs(y)<2.4)
+plasma.fine_ppc = 2 2
+"""
+
+
+def test_pipelined_mr_matches_serial():
+    """Mesh refinement inside the device pipeline: the fine level state is
+    ordinary per-device carry, so pipelined == serial must hold."""
+    n_dev = 2
+    devices = jax.devices()
+    assert len(devices) >= n_dev
+
+    inputs = Inputs(MR_DECK, overrides=[f"max_step={n_dev - 1}"])
+    sim = Simulation(inputs, verbose=0)
+    key = jax.random.PRNGKey(7)
+    binned0 = {k: v for k, v in sim.binned.items() if k != "n_dropped"}
+
+    binned = sim.binned
+    for step in range(n_dev):
+        res = sim._step_fn(binned, sim.dtype(step * sim.dt),
+                           sim.dtype(sim.dt), key)
+        binned = res["binned"]
+    seq_valid = np.asarray(binned["valid"].reshape(-1))
+    seq = {k: np.asarray(binned[k].reshape(-1))[seq_valid]
+           for k in ("x", "y", "z", "ux", "uy", "uz", "w")}
+
+    final, _min_uz, _laser = pipelined_evolve(sim.cfg, sim.dtype, binned0,
+                                              sim.dt, key,
+                                              devices=devices[:n_dev])
+    pip_valid = np.asarray(final["valid"].reshape(-1))
+    pip = {k: np.asarray(final[k].reshape(-1))[pip_valid]
+           for k in ("x", "y", "z", "ux", "uy", "uz", "w")}
+
+    assert seq_valid.sum() == pip_valid.sum()
+    i_seq = np.argsort(seq["z"], kind="stable")
+    i_pip = np.argsort(pip["z"], kind="stable")
+    for k in ("x", "y", "z", "ux", "uy", "uz", "w"):
+        np.testing.assert_allclose(seq[k][i_seq], pip[k][i_pip],
+                                   rtol=1e-9, atol=1e-11, err_msg=k)
