@@ -261,10 +261,13 @@ class Simulation:
         if names == ["no_field_diag"]:
             names = []
         if explicit:
+            # field_data=all writes every allocated comp, incl. chi/Sx/Sy
+            # for the explicit solver (matches the reference's checksum
+            # benchmarks, e.g. blowout_wake.Serial.json)
             all_comps = ["ExmBy", "EypBx", "Ez", "Bx", "By", "Bz", "Psi",
                          "jx_beam", "jy_beam", "jz_beam", "jx", "jy",
-                         "rhomjz"]
-            avail = set(all_comps) | {"chi", "Sx", "Sy", "rho"}
+                         "rhomjz", "chi", "Sx", "Sy"]
+            avail = set(all_comps) | {"rho"}
         else:
             all_comps = ["ExmBy", "EypBx", "Ez", "Bx", "By", "Bz", "Psi",
                          "jx", "jy", "jz", "rhomjz"]
