@@ -56,19 +56,4 @@ def deposit_single(field, xp, yp, value, geom, order):
     return out[0]
 
 
-def deposit_explicit_sxsy(sy, sx, xp, yp, sy_cell_fn, sx_cell_fn,
-                          sy_dx_fn, sy_dy_fn, sx_dx_fn, sx_dy_fn,
-                          geom, order, deriv_type):
-    """Explicit Sx/Sy deposition with fused derivative shape factors.
 
-    The reference deposits, per particle and stencil cell (i,j):
-        Sy(i,j) += s_x s_y * A_y(i,j) + dxf_x s_y * Bx_y + s_x dxf_y * By_y
-    where A depends on fields *at the cell* (ref ExplicitDeposition.cpp:187-258).
-    Here the cell-dependent pieces are provided as callables evaluated on the
-    gathered per-cell field values.
-
-    This generic helper takes per-particle coefficient arrays instead:
-      sy_cell_fn etc. are (N, m, m) arrays already multiplied out by the
-      caller. Kept in one scatter for both components.
-    """
-    raise NotImplementedError("use particles/plasma.py explicit_deposition")

@@ -95,6 +95,13 @@ class Inputs:
         with open(path) as f:
             return cls(f.read(), overrides)
 
+    def override(self, key: str, value) -> None:
+        """Set/replace one parameter after parsing (CLI-override semantics,
+        ref: tests/*.sh pass key=value args past the inputs file)."""
+        self._parse_line(f"{key} = {value}")
+        if key.startswith("my_constants."):
+            self.my_constants = self._build_constants()
+
     # ------------------------------------------------------------------
     def _parse_text(self, text: str) -> None:
         # support line continuation with '\'

@@ -204,6 +204,7 @@ class Simulation:
             use_banded=self._banded_auto(inputs),
             banded_W=inputs.query("hipace.banded_W", 16, int),
             banded_K=inputs.query("hipace.banded_K", 4096, int),
+            slip_cap=inputs.query("hipace.slip_cap", 64, int),
             banded_sort_period=inputs.query("hipace.banded_sort_period",
                                             1, int),
             mr_levels=self.mr_levels,
@@ -636,6 +637,8 @@ class Simulation:
                 out["diag_int_" + dg.name] = carry["diag_int"][dg.name]
         if "banded_lost" in ys:
             out["banded_lost"] = jnp.sum(ys["banded_lost"])
+        if "slip_overflow" in ys:
+            out["slip_overflow"] = jnp.sum(ys["slip_overflow"])
         return out
 
     # ------------------------------------------------------------------
@@ -653,6 +656,14 @@ class Simulation:
                 print(f"WARNING: step {step}: {lost} banded deposit "
                       "contributions dropped — increase hipace.banded_W "
                       "or decrease hipace.banded_K", file=sys.stderr)
+        if "slip_overflow" in res:
+            over = int(res["slip_overflow"])
+            if over > 0:
+                import sys
+                print(f"WARNING: step {step}: {over} slipped beam particles "
+                      "exceeded hipace.slip_cap and were emitted "
+                      "partially pushed — increase hipace.slip_cap",
+                      file=sys.stderr)
         return res
 
     def _initial_beam_moments(self):

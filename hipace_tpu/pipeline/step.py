@@ -1225,7 +1225,14 @@ def make_slice_step(cfg: SimConfig, dtype):
             reord = {k: v[perm] for k, v in combined.items()}
             new_slip = {k: v[:cfg.slip_cap] for k, v in reord.items()}
             new_slip["valid"] = new_slip["valid"] & (new_slip["nsub"] > 0)
-            n_slipped = jnp.minimum(jnp.sum(incomplete), cfg.slip_cap)
+            n_incomplete = jnp.sum(incomplete)
+            n_slipped = jnp.minimum(n_incomplete, cfg.slip_cap)
+            # overflow beyond slip_cap would be emitted with nsub>0 (a
+            # partially-pushed particle written as final) — count it so the
+            # driver can warn, like banded_lost (ref SliceSort.H:16-24 moves
+            # ALL slipped particles to Next)
+            extra_ys["slip_overflow"] = (n_incomplete - n_slipped).astype(
+                jnp.int32)
             emit = dict(reord)
             emit["valid"] = emit["valid"] & (
                 jnp.arange(emit["valid"].size) >= n_slipped)

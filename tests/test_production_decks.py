@@ -44,7 +44,7 @@ def test_max_time(tmp_path):
         f"hipace.file_prefix={tmp_path}/mt",
         "diagnostic.output_period=0"])
     # disable adaptive dt by setting a fixed dt
-    inputs._raw["hipace.dt"] = "1e-12"
+    inputs.override("hipace.dt", "1e-12")
     sim = Simulation(inputs, verbose=0)
     steps = []
     orig = sim.run_step
