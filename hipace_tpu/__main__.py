@@ -32,22 +32,39 @@ def main(argv=None):
     # writes a jax profiler trace viewable in TensorBoard/Perfetto
     trace_dir = inputs.query("hipace.profile", "", str)
 
+    # multi-device temporal pipeline (the reference's mpiexec -n N mode,
+    # ref Hipace.cpp:400-401): device d runs steps d, d+N, ... with beam
+    # and laser slices streamed over the ICI ring. hipace.pipeline=0
+    # forces serial even with multiple devices.
+    n_dev = len(jax.devices())
+    use_pipeline = inputs.query("hipace.pipeline", True, bool) and n_dev > 1
+
     t0 = time.perf_counter()
     sim = Simulation(inputs)
+
+    def run():
+        if use_pipeline:
+            sim.evolve_pipelined()
+        else:
+            sim.evolve()
+
     if trace_dir:
         with jax.profiler.trace(trace_dir):
-            sim.evolve()
+            run()
     else:
-        sim.evolve()
+        run()
     wall = time.perf_counter() - t0
 
     nz = sim.geom.nz
     n_steps = sim.max_step + 1
-    print(f"Finished Evolve after {wall:.6g} seconds using 1 rank")
-    n_plasma = sum(int(p.ppc[0] * p.ppc[1]) for p in sim.plasma_cfgs) \
-        * sim.geom.nx * sim.geom.ny
-    pushes = (n_plasma * nz + sum(b.num_particles or 0 for b in sim.beam_cfgs)
-              * 1) * n_steps
+    n_ranks = n_dev if use_pipeline else 1
+    print(f"Finished Evolve after {wall:.6g} seconds using {n_ranks} rank"
+          + ("s" if n_ranks > 1 else ""))
+    n_plasma = sum(int(p.ppc[0] * p.ppc[1]) * max(1, p.n_subcycles)
+                   for p in sim.plasma_cfgs) * sim.geom.nx * sim.geom.ny
+    pushes = (n_plasma * nz
+              + sum((b.num_particles or 0) * max(1, b.n_subcycles)
+                    for b in sim.beam_cfgs)) * n_steps
     if pushes:
         print(f"Total time per particle push: {1e9 * wall / pushes:.4g} "
               "nanoseconds")

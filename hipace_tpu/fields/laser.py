@@ -161,39 +161,151 @@ def make_laser_geometry(inputs: Inputs, geom0: Geometry):
     return g, zeta_lo, zeta_hi
 
 
-def load_laser_from_file(lcfg: LaserConfig, geom: Geometry, dtype,
-                         zeta_lo: int = 0, nz_global: int | None = None):
-    """Read the initial envelope from an openPMD file (ref Laser.cpp
-    GetEnvelopeFromFileHelper; xyt cartesian geometry). The file grid must
-    match the laser grid; the data fills the interior, guards zero. The
-    returned stream is indexed by GLOBAL slice index (rows outside the
-    laser zeta range stay zero). Our own laser_diag output round-trips
-    through this (restart)."""
+def _lin_take(arr, axis, idx, w0, w1, n_src):
+    """Separable order-1 interpolation along one axis with zero fill
+    outside the source extent (ref ShapeFactors.H compute_shape_factor<1>
+    + the bounds checks in Laser.cpp:207-224)."""
+    import numpy as np
+    i0 = np.clip(idx, 0, n_src - 1)
+    i1 = np.clip(idx + 1, 0, n_src - 1)
+    v0 = np.where((idx >= 0) & (idx < n_src), 1.0, 0.0)
+    v1 = np.where((idx + 1 >= 0) & (idx + 1 < n_src), 1.0, 0.0)
+    a0 = np.take(arr, i0, axis=axis)
+    a1 = np.take(arr, i1, axis=axis)
+    shape = [1] * arr.ndim
+    shape[axis] = -1
+    return (a0 * (w0 * v0).reshape(shape)
+            + a1 * (w1 * v1).reshape(shape))
+
+
+def _shape1(mid):
+    """floor index + (1-frac, frac) weights (compute_shape_factor<1>)."""
+    import numpy as np
+    idx = np.floor(mid).astype(np.int64)
+    frac = mid - idx
+    return idx, 1.0 - frac, frac
+
+
+def _read_envelope_file(p, geom: Geometry, clight: float):
+    """One pulse's from_file envelope on the laser grid interior
+    (nz, ny, nx complex) — the TPU rebuild of the reference's
+    GetEnvelopeFromFile (ref Laser.cpp:119-330): openPMD/lasy layouts
+    xyt (axes t,y,x), xyz (z,y,x) and rt (t,r with azimuthal modes),
+    order-1 interpolation onto the simulation grid, unitSI scaling."""
     import h5py
     import numpy as np
 
-    assert len(lcfg.pulses) == 1, "from_file supports a single pulse"
-    p = lcfg.pulses[0]
-    ctype = jnp.complex64 if dtype == jnp.float32 else jnp.complex128
+    name = p.file_envelope_name
     with h5py.File(p.input_file, "r") as f:
         it = f[f"data/{p.file_iteration}"]
-        name = p.file_envelope_name
         mesh = it["fields"]
         if name in mesh:
-            arr = np.asarray(mesh[name])
+            ds = mesh[name]
         elif f"laser_diag/{name}" in mesh:
-            arr = np.asarray(mesh[f"laser_diag/{name}"])
+            ds = mesh[f"laser_diag/{name}"]
         else:
             raise KeyError(f"{name} not found in {p.input_file}")
-    if arr.shape != (geom.nz, geom.ny, geom.nx):
-        raise ValueError(
-            f"laser input file grid {arr.shape} != laser grid "
-            f"{(geom.nz, geom.ny, geom.nx)}")
+        arr = np.asarray(ds)
+        labels = [lb.decode() if isinstance(lb, bytes) else str(lb)
+                  for lb in ds.attrs.get("axisLabels",
+                                         [b"z", b"y", b"x"])]
+        spacing = np.asarray(ds.attrs.get("gridSpacing",
+                                          [geom.dz, geom.dy, geom.dx]),
+                             np.float64)
+        offset = np.asarray(ds.attrs.get("gridGlobalOffset",
+                                         [0.0, 0.0, 0.0]), np.float64)
+        position = np.asarray(ds.attrs.get("position",
+                                           [0.0] * arr.ndim), np.float64)
+        unitSI = float(ds.attrs.get("unitSI", 1.0))
+
+    arr = arr.astype(np.complex128) * unitSI
+    # target grid (cell centers, interior only)
+    x = (np.arange(geom.nx) + 0.5) * geom.dx + geom.prob_lo[0]
+    y = (np.arange(geom.ny) + 0.5) * geom.dy + geom.prob_lo[1]
+    z = (np.arange(geom.nz) + 0.5) * geom.dz + geom.prob_lo[2]
+    zmax = geom.prob_hi[2] - geom.dz / 2
+
+    if labels == ["t", "y", "x"] or labels == ["z", "y", "x"]:
+        # arr axes: (t_or_z, y, x)
+        ymin_l = offset[1] + position[1] * spacing[1]
+        xmin_l = offset[2] + position[2] * spacing[2]
+        ix, wx0, wx1 = _shape1((x - xmin_l) / spacing[2])
+        iy, wy0, wy1 = _shape1((y - ymin_l) / spacing[1])
+        if labels[0] == "t":
+            tmid = (zmax - z) / clight / spacing[0]
+        else:
+            zmin_l = offset[0] + position[0] * spacing[0]
+            tmid = (z - zmin_l) / spacing[0]
+        iz, wz0, wz1 = _shape1(tmid)
+        out = _lin_take(arr, 2, ix, wx0, wx1, arr.shape[2])
+        out = _lin_take(out, 1, iy, wy0, wy1, arr.shape[1])
+        out = _lin_take(out, 0, iz, wz0, wz1, arr.shape[0])
+        return out
+
+    if labels == ["t", "r"]:
+        # lasy rt: arr axes (modes, t, r); mode 0 + (cos, sin) pairs
+        # (ref Laser.cpp:281-330)
+        if arr.ndim == 2:
+            arr = arr[None]
+        nmodes, nt, nr = arr.shape
+        rmin_l = offset[1] + position[1] * spacing[1]
+        X, Y = np.meshgrid(x, y)                     # (ny, nx)
+        r = np.sqrt(X * X + Y * Y)
+        theta = np.arctan2(Y, X)
+        ir, wr0, wr1 = _shape1((r - rmin_l) / spacing[1])
+        it_, wt0, wt1 = _shape1((zmax - z) / clight / spacing[0])
+        # radial interp per mode: (nmodes, nt, ny, nx)
+        ir0 = np.clip(ir, 0, nr - 1)
+        ir1 = np.clip(ir + 1, 0, nr - 1)
+        vr0 = ((ir >= 0) & (ir < nr)).astype(np.float64) * wr0
+        vr1 = ((ir + 1 >= 0) & (ir + 1 < nr)).astype(np.float64) * wr1
+        rad = arr[:, :, ir0] * vr0 + arr[:, :, ir1] * vr1
+        # azimuthal synthesis -> (nt, ny, nx)
+        acc = rad[0]
+        for m in range(1, (nmodes - 1) // 2 + 1):
+            acc = acc + rad[2 * m - 1] * np.cos(m * theta) \
+                      + rad[2 * m] * np.sin(m * theta)
+        # temporal interp -> (nz, ny, nx)
+        it0 = np.clip(it_, 0, nt - 1)
+        it1 = np.clip(it_ + 1, 0, nt - 1)
+        vt0 = ((it_ >= 0) & (it_ < nt)).astype(np.float64) * wt0
+        vt1 = ((it_ + 1 >= 0) & (it_ + 1 < nt)).astype(np.float64) * wt1
+        return acc[it0] * vt0[:, None, None] + acc[it1] * vt1[:, None, None]
+
+    raise ValueError(f"unsupported laser file axisLabels {labels} "
+                     "(must be t/y/x, z/y/x or t/r)")
+
+
+def load_laser_from_file(lcfg: LaserConfig, geom: Geometry, dtype,
+                         zeta_lo: int = 0, nz_global: int | None = None,
+                         clight: float = 1.0):
+    """Assemble the initial envelope stream from openPMD file(s)
+    (ref Laser.cpp:19-60 + GetEnvelopeFromFile): every from_file pulse is
+    read and interpolated onto the laser grid; analytic (gaussian/parser)
+    pulses in the same run are summed in so multi-pulse decks compose
+    freely. The returned stream is indexed by GLOBAL slice index (rows
+    outside the laser zeta range stay zero); guards zero."""
+    import numpy as np
+
     G = geom.nguards
     NY, NX = geom.slice_shape
     nz_global = geom.nz if nz_global is None else nz_global
+    interior = np.zeros((geom.nz, geom.ny, geom.nx), np.complex128)
+    analytic = [p for p in lcfg.pulses if p.init_type != "from_file"]
+    for p in lcfg.pulses:
+        if p.init_type == "from_file":
+            interior += _read_envelope_file(p, geom, clight)
+    if analytic:
+        import dataclasses as _dc
+        sub = _dc.replace(lcfg, pulses=tuple(analytic))
+        z = (np.arange(geom.nz) + 0.5) * geom.dz + geom.prob_lo[2]
+        rows = [np.asarray(envelope_slice(sub, geom, float(zk), dtype))
+                for zk in z]
+        interior += np.stack(rows)[:, G:NY - G, G:NX - G]
+
+    ctype = jnp.complex64 if dtype == jnp.float32 else jnp.complex128
     full = np.zeros((nz_global, NY, NX), np.complex128)
-    full[zeta_lo:zeta_lo + geom.nz, G:NY - G, G:NX - G] = arr
+    full[zeta_lo:zeta_lo + geom.nz, G:NY - G, G:NX - G] = interior
     return jnp.asarray(full, ctype)
 
 

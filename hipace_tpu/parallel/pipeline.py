@@ -68,8 +68,16 @@ def _bin_block_into(buf: dict, counters: jnp.ndarray, block: dict, geom,
 
 
 def make_pipelined_evolve(cfg, dtype, n_devices: int, beam_cap: int,
-                          axis_name: str = "pipe"):
+                          axis_name: str = "pipe", production: bool = False):
     """Build the shard_map'd multi-step evolve: device d runs step d.
+
+    production=True additionally stages per-device diagnostics (the same
+    `ys` rows the serial driver stacks: legacy "diag", per-diag "diagf_*",
+    in-situ moments, counters) into (nz, ...) buffers carried through the
+    tick scan, and accepts per-device (dt, time) ladders + a base step —
+    the TPU analogue of the reference's per-rank staging FAB
+    (ref Hipace.cpp:691, Fields::Copy) and of physical time streaming
+    through the MultiBuffer (ref MultiBuffer.cpp:618-644, Hipace.cpp:411).
 
     Laser streaming: the reference's MultiBuffer packs 4 laser components
     per slice next to the beam (ref MultiBuffer.H:110-122). Here device d
@@ -96,15 +104,17 @@ def make_pipelined_evolve(cfg, dtype, n_devices: int, beam_cap: int,
                                          ab5=cfg.plasma_pusher == "ab5"))
         return states
 
-    def device_evolve(binned0, dt, key, laser0):
+    def device_evolve(binned0, dts, times, base_step, key, laser0):
         """Runs under shard_map; binned0: (1, nz, cap2) local shard.
+        dts/times: (1,) local shards of the per-device dt/time ladders.
         laser0: (1, nz_or_1, NY, NX) complex (n00, nm1) initial stream —
         only device 0's shard is real (from_file restart); zeros otherwise."""
         d = jax.lax.axis_index(axis_name)
         is_dev0 = d == 0
         binned0 = {k: v[0] for k, v in binned0.items()}
         laser0 = jax.tree.map(lambda v: v[0], laser0)
-        time_d = d.astype(dtype) * dt
+        dt = dts[0]
+        time_d = times[0]
 
         plasmas = init_plasmas(key, cfg.pc.c * time_d)
         fields = init_field_state(cfg, dtype)
@@ -146,15 +156,14 @@ def make_pipelined_evolve(cfg, dtype, n_devices: int, beam_cap: int,
             "dt": dt, "time": time_d,
             "min_uz": jnp.asarray(jnp.inf, dtype),
             "beam_moments": zero_moments(dtype),
-            "step": d,
+            "step": base_step + d,
             "recv": recv_buf, "counters": counters,
         }
         merge_keys = ["fields", "plasma", "slip", "min_uz", "beam_moments"]
         if cfg.ionization_pairs or cfg.collisions:
             # per-device RNG stream (the serial driver splits a fresh sub-key
-            # per step; here the host pre-splits one per device)
-            _, sub = jax.random.split(key)
-            carry0["key"] = sub
+            # per step; fold the device index in so streams are independent)
+            carry0["key"] = jax.random.fold_in(key, d)
             merge_keys.append("key")
         if cfg.salame_active:
             # SALAME runs at step 0 only (ref Hipace.cpp:673-678), i.e. on
@@ -177,6 +186,47 @@ def make_pipelined_evolve(cfg, dtype, n_devices: int, beam_cap: int,
             carry0["laser_out"] = {
                 "n00": jnp.zeros((nz,) + lg.slice_shape, ctype),
                 "nm1": jnp.zeros((nz,) + lg.slice_shape, ctype)}
+
+        int_diags = [dg for dg in cfg.diags
+                     if dg.diag_type == "xy_integrated"]
+        if production:
+            if int_diags:
+                from ..pipeline.step import diag_slice_shape
+
+                def _dgeom(dg):
+                    if dg.base.startswith("level_") and dg.base != "level_0":
+                        return cfg.mr_levels[int(dg.base[-1]) - 1].geom
+                    return g
+
+                carry0["diag_int"] = {
+                    dg.name: jnp.zeros(
+                        diag_slice_shape(dg, _dgeom(dg)),
+                        jnp.complex64 if "laserEnvelope" in dg.comps
+                        and dtype == jnp.float32
+                        else jnp.complex128 if "laserEnvelope" in dg.comps
+                        else dtype)
+                    for dg in int_diags}
+                merge_keys.append("diag_int")
+            # per-slice ys shapes -> (nz, ...) staging buffers (the TPU
+            # analogue of the reference's staging FArrayBox, Hipace.cpp:691)
+            probe_keys = ["fields", "plasma", "slip", "dt", "time",
+                          "min_uz", "beam_moments", "step"]
+            for opt in ("laser", "chi_initial", "key", "salame", "diag_int"):
+                if opt in carry0:
+                    probe_keys.append(opt)
+            probe_carry = {k: carry0[k] for k in probe_keys}
+            probe_row = {k: binned0[k][0] for k in _STREAM_KEYS}
+            probe_xs = {"islice": jnp.asarray(0, jnp.int32),
+                        "beam_this": probe_row, "beam_next": dict(probe_row)}
+            if cfg.use_laser:
+                probe_xs["laser_n00"] = zsl
+                probe_xs["laser_nm1"] = zsl
+            _, ys_shapes = jax.eval_shape(slice_step, probe_carry, probe_xs)
+            stage_keys = [k for k in ys_shapes
+                          if k not in ("beam_out", "laser_np1", "laser_n00")]
+            carry0["diag_stage"] = {
+                k: jnp.zeros((nz,) + ys_shapes[k].shape, ys_shapes[k].dtype)
+                for k in stage_keys}
 
         # stage d lags stage d-1 by TWO slices: processing slice i needs
         # the upstream step's slice i-1 output (the reference's
@@ -237,6 +287,8 @@ def make_pipelined_evolve(cfg, dtype, n_devices: int, beam_cap: int,
                 sub_keys.append("key")
             if "salame" in carry:
                 sub_keys.append("salame")
+            if "diag_int" in carry:
+                sub_keys.append("diag_int")
             sub_carry = {k: carry[k] for k in sub_keys}
             new_sub, ys = slice_step(sub_carry, xs)
 
@@ -246,6 +298,14 @@ def make_pipelined_evolve(cfg, dtype, n_devices: int, beam_cap: int,
                     lambda a, b: jnp.where(active, a, b), new, old)
             merged = sel({k: new_sub[k] for k in merge_keys},
                          {k: carry[k] for k in merge_keys})
+
+            if production:
+                new_stage = {}
+                for k, buf in carry["diag_stage"].items():
+                    upd = jax.lax.dynamic_update_index_in_dim(
+                        buf, ys[k].astype(buf.dtype), i_local, 0)
+                    new_stage[k] = jnp.where(active, upd, buf)
+                carry = dict(carry, diag_stage=new_stage)
 
             emit = dict(ys["beam_out"])
             emit["valid"] = emit["valid"] & active
@@ -299,6 +359,20 @@ def make_pipelined_evolve(cfg, dtype, n_devices: int, beam_cap: int,
         else:
             laser_out = {"n00": jnp.zeros((1, 1), ctype),
                          "nm1": jnp.zeros((1, 1), ctype)}
+        if production:
+            outs = {
+                "beam": out,
+                "min_uz": carry["min_uz"][None],
+                "moments": {k: v[None]
+                            for k, v in carry["beam_moments"].items()},
+                "stage": {k: v[None]
+                          for k, v in carry["diag_stage"].items()},
+                "laser": laser_out,
+            }
+            if int_diags:
+                outs["diag_int"] = {name: v[None] for name, v in
+                                    carry["diag_int"].items()}
+            return outs
         return out, carry["min_uz"][None], laser_out
 
     return device_evolve
@@ -347,17 +421,84 @@ def pipelined_evolve(cfg, dtype, binned, dt, key, devices=None,
         [v[None], jnp.zeros((n_dev - 1,) + v.shape, ctype)], axis=0)
         if n_dev > 1 else v[None] for k, v in l0.items()}
 
+    dt_arr = jnp.full((n_dev,), dt, dtype)
+    times = jnp.arange(n_dev, dtype=dtype) * jnp.asarray(dt, dtype)
+
     fn = make_pipelined_evolve(cfg, dtype, n_dev, cap, axis_name)
     shard = jax.shard_map(
         fn, mesh=mesh,
-        in_specs=({k: P(axis_name) for k in _STREAM_KEYS}, P(), P(),
+        in_specs=({k: P(axis_name) for k in _STREAM_KEYS}, P(axis_name),
+                  P(axis_name), P(), P(),
                   {"n00": P(axis_name), "nm1": P(axis_name)}),
         out_specs=({k: P(axis_name) for k in _STREAM_KEYS}, P(axis_name),
                    {"n00": P(axis_name), "nm1": P(axis_name)}),
         check_vma=False)
     out, min_uz, laser_out = jax.jit(shard)(
-        full, jnp.asarray(dt, dtype), key, laser0)
+        full, dt_arr, times, jnp.asarray(0, jnp.int32), key, laser0)
     final = {k: v[0] for k, v in out.items()}
     new_stream = ((laser_out["n00"][0], laser_out["nm1"][0])
                   if cfg.use_laser else None)
     return final, min_uz, new_stream
+
+
+def pipelined_window(cfg, dtype, binned, dts, times, base_step, key,
+                     devices=None, axis_name: str = "pipe",
+                     laser_stream=None):
+    """Production pipelined window: run len(devices) consecutive time steps
+    (base_step + d on device d) with full diagnostics staging.
+
+    dts/times: python sequences of length n_dev — the dt/time ladder for
+    the window (host-predicted for adaptive dt, the analogue of
+    ref AdaptiveTimeStep.cpp:338-370 + MultiBuffer time streaming).
+
+    Returns a dict:
+      beam:    {attr: (n_dev, nz, cap2)} — device d's buffer is the beam
+               BEFORE step base_step+d for d>0; device 0's is the beam
+               after the window's last step (the next window's input).
+      stage:   {ys key: (n_dev, nz, ...)} per-device staged diagnostics,
+               same keys/layout the serial driver's run_step returns.
+      diag_int, min_uz (n_dev,), moments {k: (n_dev,)},
+      laser: (n00, nm1) each (n_dev, nz, NY, NX) — device 0's row is the
+             stream after the window.
+    """
+    devices = devices if devices is not None else jax.devices()
+    n_dev = len(devices)
+    mesh = Mesh(np.array(devices), (axis_name,))
+    nz = cfg.geom.nz
+    cap = binned["x"].shape[1]
+    cap2 = cap + cfg.slip_cap
+    ctype = jnp.complex64 if dtype == jnp.float32 else jnp.complex128
+
+    full = {}
+    for k in _STREAM_KEYS:
+        v = binned[k]
+        pad = jnp.zeros((nz, cap2 - cap), v.dtype)
+        row = jnp.concatenate([v, pad], axis=1)
+        full[k] = jnp.concatenate(
+            [row[None], jnp.zeros((n_dev - 1,) + row.shape, v.dtype)],
+            axis=0) if n_dev > 1 else row[None]
+
+    if cfg.use_laser and laser_stream is not None:
+        l0 = {"n00": laser_stream[0], "nm1": laser_stream[1]}
+    else:
+        lgs = (cfg.laser_geom.slice_shape if cfg.use_laser
+               and cfg.laser_geom is not None
+               else cfg.geom.slice_shape if cfg.use_laser else (1, 1))
+        z = jnp.zeros((1,) + lgs, ctype)
+        l0 = {"n00": z, "nm1": z}
+    laser0 = {k: jnp.concatenate(
+        [v[None], jnp.zeros((n_dev - 1,) + v.shape, ctype)], axis=0)
+        if n_dev > 1 else v[None] for k, v in l0.items()}
+
+    fn = make_pipelined_evolve(cfg, dtype, n_dev, cap, axis_name,
+                               production=True)
+    shard = jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=({k: P(axis_name) for k in _STREAM_KEYS}, P(axis_name),
+                  P(axis_name), P(), P(),
+                  {"n00": P(axis_name), "nm1": P(axis_name)}),
+        out_specs=P(axis_name), check_vma=False)
+    return jax.jit(shard)(
+        full, jnp.asarray(np.asarray(dts), dtype),
+        jnp.asarray(np.asarray(times), dtype),
+        jnp.asarray(base_step, jnp.int32), key, laser0)

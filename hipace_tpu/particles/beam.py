@@ -275,7 +275,9 @@ def init_beam(cfg: BeamConfig, geom: Geometry, key, dtype,
     elif cfg.injection_type == "fixed_ppc":
         out = _init_fixed_ppc(cfg, geom, dtype, normalized_units)
     elif cfg.injection_type == "from_file":
-        return _init_from_file(cfg, dtype)  # file momenta already u*c
+        # openPMD files store dimensionless gamma*beta (the reference's
+        # convention, ref OpenPMDWriter.H:79-95) -> scale to u*c below
+        out = _init_from_file(cfg, dtype)
     else:
         raise NotImplementedError(f"injection_type {cfg.injection_type}")
     if c != 1.0:

@@ -249,6 +249,10 @@ def init_plasma(cfg: PlasmaConfig, geom: Geometry, key, dtype,
         "ux_half": u0, "uy_half": u1, "psi_half": psi,
         "ion_lev": ion_lev, "valid": valid,
     }
+    if cfg.can_ionize:
+        # persistent particle identity: ionization draws are keyed to it so
+        # the ionized set is invariant under the banded row sort
+        out["pid"] = jnp.arange(n, dtype=jnp.int32)
     if ab5:
         # 25 force-history slots for the AB5 multistep pusher
         # (ref PlasmaParticleContainer.H:21-46 under HIPACE_USE_AB5_PUSH)
@@ -460,13 +464,23 @@ def adk_constants(cfg: PlasmaConfig, dz: float, normalized_units: bool,
 def ionization_module(ion: dict, elec: dict, fields: dict, geom: Geometry,
                       ion_cfg: PlasmaConfig, pc: PhysConst, order: int,
                       normalized_units: bool, background_density_SI: float,
-                      spawn_base: int, elec_init_ion_lev: int, key):
+                      spawn_base: int, elec_init_ion_lev: int, key,
+                      spawn_mode: str = "static", lost_out=None):
     """ADK field ionization (ref PlasmaParticleContainer.cpp:263-440).
 
     Gathers E at the ion's last non-temp position, draws the tunnel
-    ionization probability, promotes ion_lev and spawns an electron into the
-    product's pre-allocated slot: spawn_base + parent_index*nlev + level.
-    Fully static shapes: each parent owns nlev electron slots.
+    ionization probability, promotes ion_lev and spawns an electron into
+    the product species. Fully static shapes; two slot strategies:
+
+    - "static": each parent owns nlev pre-allocated product slots at
+      spawn_base + parent_index*nlev + level. Requires parent array order
+      to be stable across slices (the non-banded path).
+    - "append": new electrons go to the first free lanes past the valid
+      prefix (slot = sum(valid) + prefix-sum over ionized). Requires the
+      product array to be compacted valid-first — which the banded row
+      sort guarantees every slice — and survives arbitrary re-ordering of
+      the parent array. Overflow beyond capacity is dropped and counted
+      into lost_out (like the banded deposit window counter).
     """
     import jax
     from .. import constants as cst
@@ -501,16 +515,33 @@ def ionization_module(ion: dict, elec: dict, fields: dict, geom: Geometry,
     w_dtau = gammap / psi_h * prefs * Ep ** powers * jnp.exp(exp_prefs / Ep)
     prob = 1.0 - jnp.exp(-w_dtau)
     draw = jax.random.uniform(key, (n,), Ep.dtype)
+    if "pid" in ion:
+        # draws keyed to particle identity, not lane: the ionized set is
+        # then independent of the banded row sort's permutation
+        draw = draw[ion["pid"]]
     can = ion["valid"] & (ion["ion_lev"] < nlev)
     ionized = can & (draw < prob)
 
     new_ion = dict(ion)
     new_ion["ion_lev"] = ion["ion_lev"] + ionized.astype(jnp.int32)
 
-    # spawn electrons: unique static slots
-    slot = spawn_base + jnp.arange(n) * nlev + jnp.clip(ion["ion_lev"], 0,
-                                                        nlev - 1)
-    slot = jnp.where(ionized, slot, elec["x"].size)  # drop bucket
+    n_elec = elec["x"].size
+    if spawn_mode == "append":
+        # first free lanes past the valid prefix (banded arrays are
+        # compacted valid-first by the per-slice row sort)
+        n_valid = jnp.sum(elec["valid"]).astype(jnp.int32)
+        rank = jnp.cumsum(ionized.astype(jnp.int32)) - 1
+        slot = n_valid + rank
+        overflow = ionized & (slot >= n_elec)
+        if lost_out is not None:
+            lost_out.append(jnp.sum(overflow).astype(jnp.int32))
+        slot = jnp.where(ionized & ~overflow, slot, n_elec)  # drop bucket
+    else:
+        # unique static slots: parent i owns product lanes
+        # spawn_base + i*nlev + level
+        slot = spawn_base + jnp.arange(n) * nlev \
+            + jnp.clip(ion["ion_lev"], 0, nlev - 1)
+        slot = jnp.where(ionized, slot, n_elec)  # drop bucket
 
     def put(arr, vals):
         ext = jnp.concatenate([arr, jnp.zeros((1,), arr.dtype)])

@@ -117,7 +117,8 @@ class Simulation:
             from ..fields.laser import load_laser_from_file
             env = load_laser_from_file(laser_cfg, self.laser_geom,
                                        self.dtype, zeta_lo=self.laser_zeta[0],
-                                       nz_global=self.geom.nz)
+                                       nz_global=self.geom.nz,
+                                       clight=self.pc.c)
             # nm1 is not read at step 0 (two-level scheme); seed it with n00
             self.laser_stream = (env, env)
 
@@ -211,10 +212,12 @@ class Simulation:
             plasma_pusher=inputs.query("hipace.plasma_pusher", "leapfrog",
                                        str),
         )
-        if self.cfg.plasma_pusher == "ab5" and self.cfg.use_banded:
-            raise ValueError("hipace.plasma_pusher=ab5 is incompatible with "
-                             "hipace.use_banded (the row sort would have to "
-                             "carry the 25 force-history slots)")
+        if self.cfg.use_banded and self.ionization_pairs \
+                and self.cfg.banded_sort_period != 1:
+            raise ValueError(
+                "hipace.use_banded with ionization requires "
+                "hipace.banded_sort_period=1 (append-mode spawning relies "
+                "on the per-slice valid-first compaction)")
         self._insitu_writers = {}
 
         seed = inputs.query("hipace.random_seed", 0, int)
@@ -433,16 +436,16 @@ class Simulation:
     def _banded_auto(self, inputs) -> bool:
         """Banded MXU particle kernels: on by default for large plasmas.
 
-        Disabled with ionization (product spawn slots are keyed to the parent
-        array position, which the per-slice row sort would remap) and with
-        mesh refinement (per-level gathers not banded yet)."""
-        default = (not self.ionization_pairs
-                   and not self.mr_levels
+        Composes with ionization (append-mode spawning) and the AB5 pusher
+        (the argsort row sort permutes every attribute, history included).
+        Not yet default with mesh refinement (per-level gathers not banded)."""
+        default = (not self.mr_levels
                    and self._total_plasma_n() >= 65536)
         on = inputs.query("hipace.use_banded", default, bool)
-        if on and self.ionization_pairs:
-            raise ValueError("hipace.use_banded is incompatible with field "
-                             "ionization (spawn slots are position-keyed)")
+        if on and self.mr_levels:
+            raise ValueError("hipace.use_banded is incompatible with mesh "
+                             "refinement (per-level banded kernels not "
+                             "implemented yet)")
         return on
 
     def _total_plasma_n(self) -> int:
@@ -639,6 +642,8 @@ class Simulation:
             out["banded_lost"] = jnp.sum(ys["banded_lost"])
         if "slip_overflow" in ys:
             out["slip_overflow"] = jnp.sum(ys["slip_overflow"])
+        if "spawn_lost" in ys:
+            out["spawn_lost"] = jnp.sum(ys["spawn_lost"])
         return out
 
     # ------------------------------------------------------------------
@@ -664,6 +669,13 @@ class Simulation:
                       "exceeded hipace.slip_cap and were emitted "
                       "partially pushed — increase hipace.slip_cap",
                       file=sys.stderr)
+        if "spawn_lost" in res:
+            lost = int(res["spawn_lost"])
+            if lost > 0:
+                import sys
+                print(f"WARNING: step {step}: {lost} ionization products "
+                      "dropped (product species at capacity)",
+                      file=sys.stderr)
         return res
 
     def _initial_beam_moments(self):
@@ -679,9 +691,9 @@ class Simulation:
                 "sum_w_uz2": float((w * uz * uz).sum()),
                 "min_uz": float(uz.min()), "min_acc": 0.0}
 
-    def evolve(self, write_output: bool = True):
+    def evolve(self, write_output: bool = True, start_step: int = 0):
         """Time loop (ref Hipace.cpp:393-507)."""
-        for step in range(self.max_step + 1):
+        for step in range(start_step, self.max_step + 1):
             if self.adt_cfg.enabled:
                 # phase-advance control through density gradients
                 self.dt = adt.calculate_from_density(
@@ -715,6 +727,112 @@ class Simulation:
                 self.dt, self._min_uz_mq = adt.calculate_from_min_uz(
                     self.adt_cfg, mom, self.beam_cfgs[0], self.plasma_cfgs,
                     self.pc, self.time, self.dt)
+        return self
+
+    # ------------------------------------------------------------------
+    def evolve_pipelined(self, devices=None, write_output: bool = True):
+        """Production multi-device time loop: windows of n_dev consecutive
+        steps run as a temporal pipeline (device d computes step base+d,
+        streaming beam/laser slices over the ring), with full per-step
+        openPMD + in-situ diagnostics and a host-predicted adaptive-dt
+        ladder per window (the analogue of the reference's cross-rank dt
+        prediction + time streaming, ref AdaptiveTimeStep.cpp:338-370,
+        MultiBuffer.cpp:618-644, Hipace.cpp:411,446).
+
+        Falls back to the serial loop for the tail (< n_dev steps left),
+        when max_time would be crossed mid-window, and for per-step plasma
+        density tables (which rebuild the jitted step between steps).
+        """
+        import jax as _jax
+        devices = list(devices) if devices is not None else _jax.devices()
+        n_dev = len(devices)
+        if n_dev <= 1 or any(p.density_table for p in self.plasma_cfgs):
+            return self.evolve(write_output)
+        from ..parallel import pipeline as pp
+
+        step = 0
+        while step <= self.max_step:
+            remaining = self.max_step - step + 1
+            if remaining < n_dev:
+                self.evolve(write_output, start_step=step)
+                return self
+            # ---- dt/time ladder for this window (host prediction)
+            dts, times = [], []
+            t, dt = self.time, self.dt
+            for _d in range(n_dev):
+                if self.adt_cfg.enabled:
+                    dt = adt.calculate_from_density(
+                        self.adt_cfg, self.plasma_cfgs, self.pc, t, dt,
+                        self._min_uz_mq)
+                crosses = (t == self.max_time
+                           or (t + dt >= self.max_time > t)
+                           or (t + dt <= self.max_time < t))
+                if crosses:
+                    break
+                dts.append(dt)
+                times.append(t)
+                t += dt
+            if len(dts) < n_dev:
+                # max_time inside the window: finish serially
+                self.evolve(write_output, start_step=step)
+                return self
+            if self.verbose >= 1:
+                for d in range(n_dev):
+                    print(f"Rank {d} started step {step + d} at time "
+                          f"{times[d]} with dt {dts[d]}")
+
+            self.key, sub = jax.random.split(self.key)
+            binned = {k: v for k, v in self.binned.items()
+                      if k != "n_dropped"}
+            res = pp.pipelined_window(
+                self.cfg, self.dtype, binned, dts, times, step, sub,
+                devices=devices, laser_stream=self.laser_stream)
+
+            # ---- per-step diagnostics from the staged buffers
+            for d in range(n_dev):
+                s = step + d
+                res_d = {k: v[d] for k, v in res["stage"].items()}
+                if "diag_int" in res:
+                    for name, v in res["diag_int"].items():
+                        res_d["diag_int_" + name] = v[d]
+                for cnt, msg in (("banded_lost",
+                                  "banded deposit contributions dropped"),
+                                 ("slip_overflow",
+                                  "slipped beam particles exceeded "
+                                  "hipace.slip_cap")):
+                    if cnt in res_d:
+                        n_bad = int(np.sum(np.asarray(res_d[cnt])))
+                        if n_bad > 0:
+                            import sys as _sys
+                            print(f"WARNING: step {s}: {n_bad} {msg}",
+                                  file=_sys.stderr)
+                pre = (self.binned if d == 0
+                       else {k: v[d] for k, v in res["beam"].items()})
+                saved_time, saved_dt = self.time, self.dt
+                self.time, self.dt = times[d], dts[d]
+                if write_output and self._do_output(s):
+                    self._write_diagnostics(s, res_d, pre)
+                if write_output:
+                    self._write_insitu(s, res_d)
+                self.time, self.dt = saved_time, saved_dt
+
+            # ---- advance host state past the window
+            flat = {}
+            for k in bm.BEAM_ATTRS + bm.BEAM_INT_ATTRS + ("valid",):
+                flat[k] = res["beam"][k][0].reshape(-1)
+            self.binned = bm.bin_beam(flat, self.geom, self.beam_cap)
+            if self.cfg.use_laser:
+                self.laser_stream = (res["laser"]["n00"][0],
+                                     res["laser"]["nm1"][0])
+            self.time = times[-1] + dts[-1]
+            self.dt = dts[-1]
+            if self.adt_cfg.enabled and self.beam_cfgs:
+                mom = {k: float(v[-1]) for k, v in res["moments"].items()}
+                mom["min_uz"] = float(res["min_uz"][-1])
+                self.dt, self._min_uz_mq = adt.calculate_from_min_uz(
+                    self.adt_cfg, mom, self.beam_cfgs[0], self.plasma_cfgs,
+                    self.pc, self.time, self.dt)
+            step += n_dev
         return self
 
     def _apply_density_table(self):
@@ -894,9 +1012,14 @@ class Simulation:
                 if bcfg.name not in self.beam_data:
                     continue
                 v = v_all & (bid == ib)
-                beams[bcfg.name] = {
-                    k: np.asarray(pre_binned[k].reshape(-1))[v]
-                    for k in bm.BEAM_ATTRS}
+                bout = {k: np.asarray(pre_binned[k].reshape(-1))[v]
+                        for k in bm.BEAM_ATTRS}
+                # openPMD momenta are dimensionless gamma*beta (the
+                # reference's convention, ref OpenPMDWriter.H:79-95);
+                # internal momenta are proper velocities u*c
+                for k in ("ux", "uy", "uz"):
+                    bout[k] = bout[k] / self.pc.c
+                beams[bcfg.name] = bout
         self.writer.write(step, self.time, self.dt, fields, self.geom,
                           beams=beams, field_meta=field_meta)
 

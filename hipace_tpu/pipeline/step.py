@@ -579,25 +579,25 @@ def _pc_bxby_solve(f, plasmas, beam_next, cfg: SimConfig, solver, ob=None,
 
 
 # ----------------------------------------------------------------------
-_SORT_ATTRS = ("x", "y", "w", "ux", "uy", "psi",
-               "ux_half", "uy_half", "psi_half", "valid")
-
-
 def _row_sort(p: dict, geom: Geometry):
     """Sort a plasma SoA by current transverse row (the TPU equivalent of the
     reference's ReorderParticles, ref particles/sorting/...). Invalid lanes
     sink to the tail so they never widen a banded window.
 
+    Multi-operand lax.sort: every per-particle attribute rides along as a
+    sort operand, so ion_lev (ionization), pid, and the 25 AB5 force-history
+    slots stay consistent under banded kernels. (argsort + per-attribute
+    jnp.take measures 17x SLOWER on TPU — XLA lowers the 1M-element random
+    gather to ~20 ns/elem — so the multi-operand form is the fast path.)
     Skips x_prev/y_prev (equal to x/y at slice start — the non-temp push
-    syncs them) and ion_lev (constant: banded is disabled with ionization)."""
+    syncs them)."""
     NY = geom.slice_shape[0]
     ym = (p["y"] - geom.y_pos_offset) / geom.dy
     key = jnp.clip(jnp.floor(ym).astype(jnp.int32) + geom.nguards, 0, NY)
     key = jnp.where(p["valid"], key, NY + 1)
-    res = jax.lax.sort([key] + [p[n] for n in _SORT_ATTRS], num_keys=1)
-    out = dict(p)
-    for n, r in zip(_SORT_ATTRS, res[1:]):
-        out[n] = r
+    names = sorted(n for n in p if n not in ("x_prev", "y_prev"))
+    res = jax.lax.sort([key] + [p[n] for n in names], num_keys=1)
+    out = dict(zip(names, res[1:]))
     out["x_prev"] = out["x"]
     out["y_prev"] = out["y"]
     return out
@@ -1170,6 +1170,7 @@ def make_slice_step(cfg: SimConfig, dtype):
         # ---- field ionization (ref Hipace.cpp:693-696)
         if cfg.ionization_pairs:
             key = carry["key"]
+            spawn_lost = []
             for (ip_i, prod_i, spawn_base, prod_init_lev) in cfg.ionization_pairs:
                 key, sub = jax.random.split(key)
                 plasmas = list(plasmas)
@@ -1177,8 +1178,13 @@ def make_slice_step(cfg: SimConfig, dtype):
                     plasmas[ip_i], plasmas[prod_i], this, g,
                     cfg.plasmas[ip_i], pc, order, cfg.normalized_units,
                     cfg.background_density_SI, spawn_base, prod_init_lev,
-                    sub)
+                    sub,
+                    spawn_mode="append" if cfg.use_banded else "static",
+                    lost_out=spawn_lost)
             carry = dict(carry, key=key)
+            if cfg.use_banded:
+                extra_ys["spawn_lost"] = sum(
+                    spawn_lost, jnp.zeros((), jnp.int32))
 
         # ---- push plasma (ref Hipace.cpp:698-701)
         if mr:

@@ -7,9 +7,15 @@ backend's sum reduction), compare against the committed JSON
 (tests/checksum/benchmarks_json). Here we run the SAME reference decks
 through hipace_tpu and compare against the reference's OWN benchmark files.
 
+Case list mirrors the reference's tests/*.sh command lines (overrides,
+skips, output iteration). Multi-rank (2Rank) cases run serially here —
+the reference's own analysis_2ranks.py asserts serial==parallel, and our
+pipeline equivalence suite (test_pipeline_parallel.py) pins that property
+independently.
+
 Our fp64 CPU runs agree with the reference's committed numbers to a few
-1e-4 relative (different FFT/transcendental stack), far tighter than the
-reference's cross-platform test tolerances.
+1e-4 relative for deterministic decks (different FFT/transcendental
+stack); decks with randomly drawn beams agree statistically (~N^-1/2).
 """
 
 import json
@@ -28,27 +34,112 @@ BEAM_MAP = {"x": "position/x", "y": "position/y", "z": "position/z",
             "ux": "momentum/x", "uy": "momentum/y", "uz": "momentum/z",
             "w": "weighting"}
 
+SXSYCHI = ("Sy", "Sx", "chi")
+
 CASES = [
-    # (benchmark json name, deck, overrides, rtol)
+    # (benchmark json name, deck, overrides, rtol, skip_fields,
+    #  skip_particles)
     ("blowout_wake.Serial",
      f"{REF}/examples/blowout_wake/inputs_normalized",
-     [], 5e-3),
+     [], 5e-3, (), False),
     ("linear_wake.normalized.1Rank",
      f"{REF}/examples/linear_wake/inputs_normalized",
-     ["diagnostic.field_data=all rho"], 5e-3),
+     ["diagnostic.field_data=all rho"], 5e-3, (), False),
     ("beam_in_vacuum.normalized.Serial",
      f"{REF}/examples/beam_in_vacuum/inputs_normalized",
-     ["hipace.depos_order_xy=0", "diagnostic.field_data=all rho"], 5e-3),
+     ["hipace.depos_order_xy=0", "diagnostic.field_data=all rho"],
+     5e-3, (), False),
+    # --- round 2 additions (ref tests/*.sh command lines) ---
+    ("blowout_wake_explicit.2Rank",
+     f"{REF}/examples/blowout_wake/inputs_normalized",
+     ["max_step=1"], 5e-3, SXSYCHI, False),
+    ("linear_wake.SI.1Rank",
+     f"{REF}/examples/linear_wake/inputs_SI",
+     ["diagnostic.field_data=all rho"], 5e-3, (), False),
+    ("beam_in_vacuum.SI.Serial",
+     f"{REF}/examples/beam_in_vacuum/inputs_SI",
+     ["hipace.depos_order_xy=0", "diagnostic.field_data=all rho"],
+     5e-3, (), False),
+    ("ion_motion.SI.1Rank",
+     f"{REF}/examples/linear_wake/inputs_ion_motion_SI",
+     ["hipace.bxby_solver=explicit"], 5e-3, SXSYCHI, False),
+    ("radiation_reaction.1Rank",
+     f"{REF}/examples/beam_in_vacuum/inputs_RR",
+     [], 2e-2, (), False),
+    ("grid_current.1Rank",
+     f"{REF}/examples/beam_in_vacuum/inputs_normalized",
+     ["amr.n_cell=32 32 32", "max_step=1", "hipace.depos_order_xy=0",
+      "geometry.prob_lo=-8. -8. -6.", "geometry.prob_hi=8. 8. 6.",
+      "grid_current.use_grid_current=1",
+      "grid_current.peak_current_density=0.2",
+      "grid_current.position_mean=0. 0. 0.",
+      "grid_current.position_std=0.3 0.3 1.41",
+      "diagnostic.output_period=1", "beam.profile=gaussian",
+      "beam.position_std=0.3 0.3 1.41", "beam.density=0.2",
+      "beam.radius=1.", "beam.ppc=1 1 1"],
+     5e-3, (), False),
+    ("beam_in_vacuum_open_boundary.normalized.1Rank",
+     f"{REF}/examples/beam_in_vacuum/inputs_normalized",
+     ["hipace.depos_order_xy=0", "hipace.bxby_solver=predictor-corrector",
+      "hipace.predcorr_B_mixing_factor=0.95",
+      "hipace.predcorr_max_iterations=5",
+      "boundary.field=Open", "boundary.particle=Absorbing",
+      "geometry.prob_lo=-4. -4. -2.", "geometry.prob_hi=4. 4. 2.",
+      "beam.position_mean=2. -1. 0.", "diagnostic.field_data=all rho"],
+     5e-3, (), False),
+    ("laser_blowout_wake_explicit.1Rank",
+     f"{REF}/examples/blowout_wake/inputs_normalized",
+     ["max_step=0", "beams.names=no_beam",
+      "geometry.prob_lo=-20. -20. -7.5", "geometry.prob_hi=20. 20. 6",
+      "lasers.names=laser", "lasers.lambda0=.8e-6", "laser.a0=4.5",
+      "laser.position_mean=0. 0. 0", "laser.w0=4", "laser.L0=2",
+      "amr.n_cell=128 128 100"],
+     5e-3, SXSYCHI, True),
+    ("laser_blowout_wake_explicit.SI.1Rank",
+     f"{REF}/examples/blowout_wake/inputs_SI",
+     ["max_step=0", "beams.names=no_beam",
+      "geometry.prob_lo=-20.*kp_inv -20.*kp_inv -7.5*kp_inv",
+      "geometry.prob_hi=20.*kp_inv 20.*kp_inv 6.*kp_inv",
+      "lasers.names=laser", "lasers.lambda0=.8e-6", "laser.a0=4.5",
+      "laser.position_mean=0. 0. 0", "laser.w0=4.*kp_inv",
+      "laser.L0=2.*kp_inv", "amr.n_cell=128 128 100"],
+     5e-3, SXSYCHI, True),
+    ("ionization.2Rank",
+     f"{REF}/examples/blowout_wake/inputs_ionization_SI",
+     ["hipace.dt=1e-12", "diagnostic.output_period=2", "max_step=2"],
+     5e-3, (), False),
+    ("production.SI.2Rank_pwfa",
+     f"{REF}/examples/get_started/inputs_pwfa",
+     ["max_step=10", "amr.n_cell=64 64 100"],
+     5e-3, (), False),
+    ("production.SI.2Rank_lwfa",
+     f"{REF}/examples/get_started/inputs_lwfa",
+     ["max_step=10", "amr.n_cell=64 64 100"],
+     5e-3, (), True),
 ]
 
 
-@pytest.mark.parametrize("name,deck,overrides,rtol",
-                         CASES, ids=[c[0] for c in CASES])
-def test_reference_checksum(name, deck, overrides, rtol, tmp_path):
+def _find_field(mesh, field):
+    """Resolve a field dataset: directly in the fields group, or inside a
+    named-diagnostic subgroup (our writer nests e.g. laser_diag/)."""
+    if field in mesh:
+        return mesh[field]
+    for key in mesh:
+        sub = mesh[key]
+        if hasattr(sub, "keys") and field in sub:
+            return sub[field]
+    return None
+
+
+@pytest.mark.parametrize(
+    "name,deck,overrides,rtol,skip_fields,skip_particles",
+    CASES, ids=[c[0] for c in CASES])
+def test_reference_checksum(name, deck, overrides, rtol, skip_fields,
+                            skip_particles, tmp_path):
     import h5py
     bench = json.load(open(f"{BENCH}/{name}.json"))
-    prefix = str(tmp_path / name)
-    inputs = Inputs.from_file(deck, overrides=overrides
+    prefix = str(tmp_path / name.replace("/", "_"))
+    inputs = Inputs.from_file(deck, overrides=list(overrides)
                               + [f"hipace.file_prefix={prefix}"])
     sim = Simulation(inputs, verbose=0)
     sim.evolve()
@@ -57,10 +148,15 @@ def test_reference_checksum(name, deck, overrides, rtol, tmp_path):
     with h5py.File(os.path.join(prefix, f"openpmd_{it:06d}.h5")) as f:
         mesh = f[f"data/{it}/fields"]
         for field, ref in bench["lev=0"].items():
-            assert field in mesh, f"{name}: field {field} not written"
-            ours = float(np.sum(np.abs(np.array(mesh[field]))))
+            if field in skip_fields:
+                continue
+            ds = _find_field(mesh, field)
+            assert ds is not None, f"{name}: field {field} not written"
+            ours = float(np.sum(np.abs(np.array(ds))))
             assert ours == pytest.approx(ref, rel=rtol, abs=1e-8), \
                 f"{name}: {field} checksum {ours} vs reference {ref}"
+        if skip_particles:
+            return
         for species, attrs in bench.items():
             if species.startswith("lev="):
                 continue

@@ -2,8 +2,8 @@
 """Generate an openPMD beam file for `beam.injection_type = from_file`.
 
 Equivalent of the reference's tools/write_beam.py: writes particle arrays
-x, y, z (positions), ux, uy, uz (proper velocities u = gamma*beta*c, c=1 in
-normalized units) and weights into the openPMD HDF5 layout this framework
+x, y, z (positions), ux, uy, uz (dimensionless gamma*beta, the reference's
+openPMD convention) and weights into the openPMD HDF5 layout this framework
 reads back.
 
 Usage:
