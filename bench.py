@@ -35,11 +35,13 @@ def main():
     nxy = int(os.environ.get("HIPACE_BENCH_NXY", "1023"))
     nz = int(os.environ.get("HIPACE_BENCH_NZ", "128"))
     steps = int(os.environ.get("HIPACE_BENCH_STEPS", "4"))
-    npart = max(1024, int(nxy * nxy * 10 * nz / 1000))
+    npart = int(os.environ.get("HIPACE_BENCH_NPART",
+                               max(1024, int(nxy * nxy * 10 * nz / 1000))))
 
     from hipace_tpu.parser import Inputs
     from hipace_tpu.pipeline.simulation import Simulation
 
+    extra = os.environ.get("HIPACE_BENCH_OVERRIDES", "")
     inputs = Inputs.from_file(
         "/root/reference/examples/benchmarks/inputs_transverse_benchmark",
         overrides=[
@@ -48,7 +50,7 @@ def main():
             f"beam.num_particles={npart}",
             "max_step=0", "hipace.dt=1.0",
             "diagnostic.output_period=0",
-        ])
+        ] + ([o for o in extra.split(";") if o] if extra else []))
     sim = Simulation(inputs, verbose=0)
 
     def sync(res):

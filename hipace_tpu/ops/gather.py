@@ -44,13 +44,34 @@ def gather_fields(xp, yp, fields, comps, geom, order):
     return [jnp.sum(fields[c][jj2, ii2] * w, axis=(1, 2)) for c in comps]
 
 
+def _row_sliced_fetch(stacked, jj, ix0, m):
+    """Fetch (N, m, m, C) stencil values with ONE gather of (1, m, C)
+    row-slices: m gather rows per particle instead of m*m scalar elements
+    (~4x fewer gather rows on TPU, where XLA gather throughput is
+    per-row). Out-of-range starts are slice-clipped; particles with
+    in-bounds stencils (every valid particle — guard cells cover the
+    stencil) read exactly the same elements as elementwise indexing."""
+    import jax
+    N = ix0.shape[0]
+    C = stacked.shape[-1]
+    starts = jnp.stack(
+        [jj, jnp.broadcast_to(ix0[:, None], jj.shape)], axis=-1)
+    out = jax.lax.gather(
+        stacked, starts.reshape(N * m, 2),
+        jax.lax.GatherDimensionNumbers(
+            offset_dims=(1, 2, 3), collapsed_slice_dims=(),
+            start_index_map=(0, 1)),
+        slice_sizes=(1, m, C), mode="clip")
+    return out.reshape(N, m, m, C)
+
+
 def gather_main_fields(xp, yp, psi, ez, bx, by, bz, geom, order):
     """The main pusher gather: (ExmBy, EypBx, Ez, Bx, By, Bz).
 
     ExmBy/EypBx come from the nodal-derivative gather of Psi
     (ref FieldGather.H:76-95, derivative_type=1). All five source fields are
-    fetched in ONE gather (stacked trailing component axis) so XLA issues a
-    single HBM gather pass instead of five.
+    fetched in ONE gather of per-row slices (stacked trailing component
+    axis) so XLA issues m gather rows per particle, not 5*m*m.
     """
     G = geom.nguards
     NY, NX = geom.slice_shape
@@ -62,15 +83,15 @@ def gather_main_fields(xp, yp, psi, ez, bx, by, bz, geom, order):
     m = order + 2
     ix0, wx, dwx = shape_weights_derivative(x, order, 1)
     iy0, wy, dwy = shape_weights_derivative(y, order, 1)
-    ii = _stencil_indices(ix0, m, G, NX)[:, None, :]
-    jj = _stencil_indices(iy0, m, G, NY)[:, :, None]
+    ii0 = jnp.clip(ix0 + G, 0, NX - m)
+    jj = _stencil_indices(iy0, m, G, NY)
 
     w = wy[:, :, None] * wx[:, None, :]
     w_dx = wy[:, :, None] * dwx[:, None, :]
     w_dy = dwy[:, :, None] * wx[:, None, :]
 
     stacked = jnp.stack([psi, ez, bx, by, bz], axis=-1)  # (NY, NX, 5)
-    vals = stacked[jj, ii, :]                            # (N, m, m, 5)
+    vals = _row_sliced_fetch(stacked, jj, ii0, m)        # (N, m, m, 5)
     psi_v = vals[..., 0]
     exmby = jnp.sum(w_dx * psi_v, axis=(1, 2)) * dx_inv
     eypbx = jnp.sum(w_dy * psi_v, axis=(1, 2)) * dy_inv

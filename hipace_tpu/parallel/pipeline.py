@@ -97,11 +97,13 @@ def make_pipelined_evolve(cfg, dtype, n_devices: int, beam_cap: int,
     def init_plasmas(key, c_t):
         from ..particles import plasma as pl
         states = []
-        for pcfg in cfg.plasmas:
+        pads = cfg.plasma_pad or (0,) * len(cfg.plasmas)
+        for i, pcfg in enumerate(cfg.plasmas):
             key, sub = jax.random.split(key)
-            states.append(pl.init_plasma(pcfg, g, sub, dtype, c_t,
-                                         cfg.normalized_units,
-                                         ab5=cfg.plasma_pusher == "ab5"))
+            st = pl.init_plasma(pcfg, g, sub, dtype, c_t,
+                                cfg.normalized_units,
+                                ab5=cfg.plasma_pusher == "ab5")
+            states.append(pl.pad_plasma(st, pads[i]))
         return states
 
     def device_evolve(binned0, dts, times, base_step, key, laser0):

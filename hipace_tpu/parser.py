@@ -138,6 +138,10 @@ class Inputs:
             return
         key, val = line.split("=", 1)
         key = key.strip()
+        # AMReX ParmParse quotes keys containing parentheses, e.g.
+        # "elec.density(x,y,z)" = ne (ref inputs_ion_motion_SI:44)
+        if key.startswith('"') and key.endswith('"') and len(key) > 1:
+            key = key[1:-1].strip()
         val = val.strip()
         # strip outer quotes only when the whole value is one quoted string;
         # multi-token values like '"expr1" "expr2" -1.' keep their interior

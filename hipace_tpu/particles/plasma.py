@@ -161,6 +161,28 @@ class PlasmaConfig:
                                 self.consts)
 
 
+def plasma_count(cfg: PlasmaConfig, geom: Geometry, dtype,
+                 normalized_units: bool = True) -> int:
+    """Static particle count init_plasma will produce (before padding)."""
+    if bool(cfg.fine_patch_expr) and cfg.fine_ppc[0] * cfg.fine_ppc[1] > 0:
+        x, *_ = _fine_patch_positions(cfg, geom, dtype, normalized_units)
+        return int(x.size)
+    return geom.nx * geom.ny * cfg.ppc[0] * cfg.ppc[1]
+
+
+def pad_plasma(st: dict, extra: int) -> dict:
+    """Append `extra` invalid lanes (ionization product slots / banded
+    chunk padding); psi pads with 1 so 1/psi stays finite."""
+    if not extra:
+        return st
+    out = {}
+    for k, v in st.items():
+        fill = 1.0 if k in ("psi", "psi_half") else 0
+        z = jnp.full((extra,), fill, v.dtype)
+        out[k] = jnp.concatenate([v, z])
+    return out
+
+
 def init_plasma(cfg: PlasmaConfig, geom: Geometry, key, dtype,
                 c_t: float = 0.0, normalized_units: bool = True,
                 ab5: bool = False) -> dict:

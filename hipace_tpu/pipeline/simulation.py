@@ -203,8 +203,10 @@ class Simulation:
             collisions=self._collision_cfg(inputs, plasma_names,
                                            [b.name for b in self.beam_cfgs]),
             use_banded=self._banded_auto(inputs),
-            banded_W=inputs.query("hipace.banded_W", 16, int),
-            banded_K=inputs.query("hipace.banded_K", 4096, int),
+            banded_W=inputs.query("hipace.banded_W", 32, int),
+            banded_K=inputs.query("hipace.banded_K", 8192, int),
+            banded_gather_K=inputs.query("hipace.banded_gather_K", 4096,
+                                         int),
             slip_cap=inputs.query("hipace.slip_cap", 64, int),
             banded_sort_period=inputs.query("hipace.banded_sort_period",
                                             1, int),
@@ -218,6 +220,24 @@ class Simulation:
                 "hipace.use_banded with ionization requires "
                 "hipace.banded_sort_period=1 (append-mode spawning relies "
                 "on the per-slice valid-first compaction)")
+        # per-species pad lanes (ionization product slots + banded chunk
+        # padding) — on cfg so every init path (serial + pipelined) agrees
+        pads = []
+        for i, pcfg in enumerate(self.plasma_cfgs):
+            extra = self._spawn_extra[i] if hasattr(self, "_spawn_extra") \
+                else 0
+            if self.cfg.use_banded:
+                kd, kg = self.cfg.banded_K, self.cfg.banded_gather_K
+                km = max(kd, kg)
+                if km % min(kd, kg) != 0:
+                    raise ValueError("hipace.banded_K and "
+                                     "hipace.banded_gather_K must divide "
+                                     "one another")
+                n = pl.plasma_count(pcfg, self.geom, self.dtype,
+                                    self.normalized_units) + extra
+                extra += (-n) % km
+            pads.append(extra)
+        self.cfg = dataclasses.replace(self.cfg, plasma_pad=tuple(pads))
         self._insitu_writers = {}
 
         seed = inputs.query("hipace.random_seed", 0, int)
@@ -436,17 +456,14 @@ class Simulation:
     def _banded_auto(self, inputs) -> bool:
         """Banded MXU particle kernels: on by default for large plasmas.
 
-        Composes with ionization (append-mode spawning) and the AB5 pusher
-        (the argsort row sort permutes every attribute, history included).
-        Not yet default with mesh refinement (per-level gathers not banded)."""
+        Composes with ionization (append-mode spawning), the AB5 pusher
+        (the row sort carries every attribute, history included), and MR
+        (level-0 kernels banded; fine-patch paths stay XLA scatter).
+        MR decks keep banded off by default (fine patches add particles
+        the capacity planner pads conservatively)."""
         default = (not self.mr_levels
                    and self._total_plasma_n() >= 65536)
-        on = inputs.query("hipace.use_banded", default, bool)
-        if on and self.mr_levels:
-            raise ValueError("hipace.use_banded is incompatible with mesh "
-                             "refinement (per-level banded kernels not "
-                             "implemented yet)")
-        return on
+        return inputs.query("hipace.use_banded", default, bool)
 
     def _total_plasma_n(self) -> int:
         g = self.geom
@@ -479,26 +496,13 @@ class Simulation:
     # ------------------------------------------------------------------
     def _init_plasma_state(self, key, c_t):
         states = []
+        pads = self.cfg.plasma_pad or (0,) * len(self.plasma_cfgs)
         for i, pcfg in enumerate(self.plasma_cfgs):
             key, sub = jax.random.split(key)
             st = pl.init_plasma(pcfg, self.geom, sub, self.dtype, c_t,
                                 self.normalized_units,
                                 ab5=self.cfg.plasma_pusher == "ab5")
-            extra = self._spawn_extra[i] if hasattr(self, "_spawn_extra") else 0
-            if self.cfg.use_banded:
-                # banded kernels process fixed K-particle chunks
-                n = st["x"].size + extra
-                extra += (-n) % self.cfg.banded_K
-            if extra:
-                # pre-allocated (invalid) slots for ionization products /
-                # chunk padding; psi pads with 1 so 1/psi stays finite
-                pad = {}
-                for k, v in st.items():
-                    fill = 1.0 if k in ("psi", "psi_half") else 0
-                    z = jnp.full((extra,), fill, v.dtype)
-                    pad[k] = jnp.concatenate([v, z])
-                st = pad
-            states.append(st)
+            states.append(pl.pad_plasma(st, pads[i]))
         return states
 
     def _time_step(self, binned, time, dt, key, step=0, laser_stream=None):

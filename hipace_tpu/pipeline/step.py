@@ -177,6 +177,9 @@ class SimConfig:
     laser_zeta: tuple | None = None
     # (parent_idx, product_idx, spawn_base, product_init_ion_lev)
     ionization_pairs: tuple = ()
+    # per-species extra (invalid) lanes: ionization product slots +
+    # banded chunk padding; consumed by every plasma init path
+    plasma_pad: tuple = ()
     # in-situ diagnostics periods (0 = off) and radii
     insitu_beam_period: int = 0
     insitu_field_period: int = 0
@@ -197,8 +200,12 @@ class SimConfig:
     # (ref OpenBoundary.H; boundary.field = Open)
     open_boundary: bool = False
     use_banded: bool = False
-    banded_W: int = 16
-    banded_K: int = 4096
+    # deposit windows/chunks: larger K amortizes per-chunk overhead (the
+    # kernel is chunk-overhead/HBM-bound, not MXU-bound: W=32 measures
+    # FASTER than W=16 on v5e); gathers prefer smaller K
+    banded_W: int = 32
+    banded_K: int = 8192
+    banded_gather_K: int = 4096
     # re-sort every N slices (drift between sorts consumes banded_W slack;
     # the lost counters catch a too-small W / too-large period)
     banded_sort_period: int = 1
@@ -460,6 +467,8 @@ def _pc_bxby_solve(f, plasmas, beam_next, cfg: SimConfig, solver, ob=None,
                  "jy": jnp.zeros(mr[i].geom.slice_shape, jz.dtype)}
                 for i in range(len(mr))]
         banded = (cfg.banded_W, cfg.banded_K) if cfg.use_banded else None
+        banded_g = (cfg.banded_W, cfg.banded_gather_K) if cfg.use_banded \
+            else None
         for ip, (p, pcfg) in enumerate(zip(plasmas, cfg.plasmas)):
             if mr:
                 p_tmp = pl.advance_plasma(
@@ -469,7 +478,7 @@ def _pc_bxby_solve(f, plasmas, beam_next, cfg: SimConfig, solver, ob=None,
             else:
                 p_tmp = pl.advance_plasma(
                     p, fields_it, g, pcfg, pc, temp_slice=True, order=order,
-                    use_laser=cfg.use_laser, banded=banded,
+                    use_laser=cfg.use_laser, banded=banded_g,
                     pusher=cfg.plasma_pusher)
             nxt, _ = pl.deposit_plasma(p_tmp, ["jx", "jy"], nxt, g, pcfg, pc,
                                        order, cfg.normalized_units,
@@ -626,12 +635,15 @@ def make_slice_step(cfg: SimConfig, dtype):
     pc = cfg.pc
     order = cfg.depos_order_xy
     banded = (cfg.banded_W, cfg.banded_K) if cfg.use_banded else None
+    banded_gather = (cfg.banded_W, cfg.banded_gather_K) if cfg.use_banded \
+        else None
     solver = make_poisson_solver(cfg.poisson_solver, g, dtype)
     mg = MultiGrid(g.nx, g.ny, g.dx, g.dy, dtype) if cfg.explicit else None
     mr = cfg.mr_levels
     if mr:
-        assert not cfg.use_banded, \
-            "banded kernels not supported with mesh refinement yet"
+        # banded composes with MR: level-0 deposits/gathers use the MXU
+        # kernels (the expensive grid); fine-patch deposits/gathers keep the
+        # XLA scatter path (small subsets, masked by tag)
         assert not cfg.salame_active, "SALAME + MR not supported yet"
         from ..fields.mr import LevelCoupler, in_level_bounds
         couplers, fine_solvers, fine_mgs = [], [], []
@@ -704,6 +716,18 @@ def make_slice_step(cfg: SimConfig, dtype):
         f = dict(f, This=this)
         if cfg.explicit:
             f["Next"] = {c: jnp.zeros_like(v) for c, v in f["Next"].items()}
+
+        # ---- row-sort plasma for the banded MXU kernels (before MR tags:
+        # plasma_tags index into the sorted arrays)
+        if cfg.use_banded:
+            if cfg.banded_sort_period > 1:
+                do_sort = (islice % cfg.banded_sort_period) == 0
+                plasmas = [jax.lax.cond(do_sort,
+                                        lambda ps: _row_sort(ps, g),
+                                        lambda ps: ps, p)
+                           for p in plasmas]
+            else:
+                plasmas = [_row_sort(p, g) for p in plasmas]
 
         # ---- MR: fine InitializeSlices (ref Fields.cpp:541-557) + flags
         if mr:
@@ -797,17 +821,6 @@ def make_slice_step(cfg: SimConfig, dtype):
                 this["aabs"] = l2f.apply(aabs_l)
             else:
                 this["aabs"] = aabs_l
-
-        # ---- row-sort plasma for the banded MXU kernels
-        if cfg.use_banded:
-            if cfg.banded_sort_period > 1:
-                do_sort = (islice % cfg.banded_sort_period) == 0
-                plasmas = [jax.lax.cond(do_sort,
-                                        lambda ps: _row_sort(ps, g),
-                                        lambda ps: ps, p)
-                           for p in plasmas]
-            else:
-                plasmas = [_row_sort(p, g) for p in plasmas]
 
         # ---- plasma deposits on This
         if cfg.explicit:
@@ -1201,7 +1214,8 @@ def make_slice_step(cfg: SimConfig, dtype):
             plasmas = [pl.advance_plasma(p, this, g, pcfg, pc,
                                          temp_slice=False, order=order,
                                          use_laser=cfg.use_laser,
-                                         banded=banded, lost_out=lost_acc,
+                                         banded=banded_gather,
+                                         lost_out=lost_acc,
                                          pusher=cfg.plasma_pusher)
                        for p, pcfg in zip(plasmas, cfg.plasmas)]
 

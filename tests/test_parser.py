@@ -87,3 +87,14 @@ other.name = x_{2*run}_{tag}
 """)
     assert inputs.query("hipace.file_prefix", "", str) == "diags/run_3"
     assert inputs.query("other.name", "", str) == "x_6_0.5"
+
+
+def test_quoted_key_with_parentheses():
+    # AMReX ParmParse quotes keys containing parentheses
+    # (ref inputs_ion_motion_SI: "elec.density(x,y,z)" = ne)
+    from hipace_tpu.parser import Inputs
+    inp = Inputs('my_constants.ne = 2.5\n"elec.density(x,y,z)" = ne\n')
+    f = inp.prefix("elec").get_function("density", ("x", "y", "z"))
+    assert f is not None
+    import numpy as np
+    assert float(f(np.array(0.0), np.array(0.0), np.array(0.0))) == 2.5
