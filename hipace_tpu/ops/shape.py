@@ -61,21 +61,31 @@ def _leftmost(xmid, p):
     return jnp.floor(xmid).astype(jnp.int32) - (p - 1) // 2
 
 
-def shape_weights(xmid: jnp.ndarray, p: int):
-    """Shape factors: returns (i0 (N,), w (N, p+1)) with w_k = B_p(x - (i0+k))."""
+def shape_weights(xmid: jnp.ndarray, p: int, transposed: bool = False):
+    """Shape factors: returns (i0 (N,), w (N, p+1)) with w_k = B_p(x - (i0+k)).
+
+    transposed=True returns w as (p+1, N) — generated elementwise in that
+    layout, so consumers that want tap-major weights (the banded MXU
+    kernels) avoid an XLA relayout copy (~0.8 ms per (1M, 3) array on v5e).
+    """
     i0 = _leftmost(xmid, p)
     offs = jnp.arange(p + 1, dtype=jnp.int32)
+    if transposed:
+        u = xmid[None, :] - (i0[None, :] + offs[:, None]).astype(xmid.dtype)
+        return i0, _bspline(u, p)
     u = xmid[..., None] - (i0[..., None] + offs).astype(xmid.dtype)
     return i0, _bspline(u, p)
 
 
-def shape_weights_derivative(xmid: jnp.ndarray, p: int, deriv_type: int):
+def shape_weights_derivative(xmid: jnp.ndarray, p: int, deriv_type: int,
+                             transposed: bool = False):
     """Fused shape + derivative factors.
 
     Returns (i0 (N,), w (N, m), dxf (N, m)) with m = p + deriv_type + 1,
     matching single_derivative_shape_factor (ref ShapeFactors.H:211-466):
     w is the order-p shape embedded in the derivative stencil and
-    dxf the reference's `dx_factor` (= -sdx).
+    dxf the reference's `dx_factor` (= -sdx). transposed=True returns
+    (m, N) layouts (see shape_weights).
     """
     if deriv_type == 0:
         m = p + 1
@@ -90,15 +100,24 @@ def shape_weights_derivative(xmid: jnp.ndarray, p: int, deriv_type: int):
         raise ValueError(f"unsupported derivative type {deriv_type}")
 
     offs = jnp.arange(m, dtype=jnp.int32)
-    u = xmid[..., None] - (i0[..., None] + offs).astype(xmid.dtype)
+    if transposed:
+        u = xmid[None, :] - (i0[None, :] + offs[:, None]).astype(xmid.dtype)
+        tap_axis = 0
+    else:
+        u = xmid[..., None] - (i0[..., None] + offs).astype(xmid.dtype)
+        tap_axis = -1
     w = _bspline(u, p)
     if deriv_type == 0:
         dxf = -_bspline_deriv(u, p)
     elif deriv_type == 1:
         dxf = -_bspline_deriv(u, p + 1)
     else:
-        zero = jnp.zeros_like(w[..., :1])
-        w_r = jnp.concatenate([w[..., 1:], zero], axis=-1)
-        w_l = jnp.concatenate([zero, w[..., :-1]], axis=-1)
+        zero = jnp.take(jnp.zeros_like(w), jnp.arange(1), axis=tap_axis)
+        w_r = jnp.concatenate(
+            [jnp.take(w, jnp.arange(1, m), axis=tap_axis), zero],
+            axis=tap_axis)
+        w_l = jnp.concatenate(
+            [zero, jnp.take(w, jnp.arange(m - 1), axis=tap_axis)],
+            axis=tap_axis)
         dxf = 0.5 * (w_r - w_l)
     return i0, w, dxf

@@ -546,11 +546,92 @@ def unbin_beam(binned: dict) -> dict:
 
 
 # ----------------------------------------------------------------------
+def chunk_apply(arrs: dict, n_active, chunk: int, body_fn):
+    """Apply body_fn (dict of (chunk,) lanes -> same) to successive
+    chunk-size lane windows while i*chunk < n_active, writing results back.
+
+    The per-slice beam capacity is sized to the PEAK slice, but the lax.scan
+    body pays for every lane on EVERY slice — ~6x padding waste for a
+    gaussian beam. This is the TPU equivalent of the reference's per-box
+    particle loops, which size to the actual count (ref
+    BeamParticleAdvance.cpp:60: ParallelFor(num_particles)): a
+    dynamic-trip-count while_loop processes only ceil(n_active/chunk)
+    chunks, so cost scales with occupancy, not capacity.
+
+    Requires all lanes >= n_active to be invalid (callers keep valid lanes
+    compacted at the front: bin_beam rank order, slip-buffer sort order).
+    """
+    N = next(iter(arrs.values())).shape[0]
+    CH = min(chunk, N)
+    pad = (-N) % CH
+    if pad:
+        arrs = {k: jnp.concatenate(
+            [v, jnp.zeros((pad,) + v.shape[1:], v.dtype)])
+            for k, v in arrs.items()}
+
+    def cond(state):
+        i, _ = state
+        return i * CH < n_active
+
+    def body(state):
+        i, a = state
+        off = i * CH
+        ch = {k: jax.lax.dynamic_slice_in_dim(v, off, CH, 0)
+              for k, v in a.items()}
+        out = body_fn(ch)
+        a = dict(a)
+        for k, v in out.items():
+            a[k] = jax.lax.dynamic_update_slice_in_dim(a[k], v, off, 0)
+        return i + 1, a
+
+    _, arrs = jax.lax.while_loop(
+        cond, body, (jnp.zeros((), jnp.int32), arrs))
+    if pad:
+        arrs = {k: v[:N] for k, v in arrs.items()}
+    return arrs
+
+
+def chunk_reduce(arrs: dict, n_active, chunk: int, acc, body_fn):
+    """Like chunk_apply, but body_fn(acc, chunk_dict) -> acc accumulates
+    into a carried value (e.g. a field stack) instead of updating lanes."""
+    N = next(iter(arrs.values())).shape[0]
+    CH = min(chunk, N)
+    pad = (-N) % CH
+    if pad:
+        arrs = {k: jnp.concatenate(
+            [v, jnp.zeros((pad,) + v.shape[1:], v.dtype)])
+            for k, v in arrs.items()}
+
+    def cond(state):
+        i, _ = state
+        return i * CH < n_active
+
+    def body(state):
+        i, a = state
+        off = i * CH
+        ch = {k: jax.lax.dynamic_slice_in_dim(v, off, CH, 0)
+              for k, v in arrs.items()}
+        return i + 1, body_fn(a, ch)
+
+    _, acc = jax.lax.while_loop(
+        cond, body, (jnp.zeros((), jnp.int32), acc))
+    return acc
+
+
 def advance_all_beams(bp: dict, fields: dict, geom: Geometry, cfgs,
                       pc: PhysConst, dt, min_z, order: int = 2, time=0.0,
-                      background_density_SI: float = 0.0, fine_levels=()):
+                      background_density_SI: float = 0.0, fine_levels=(),
+                      chunk: int = 0, n_active=None):
     """Push all beam species in the merged array, one masked pass per
-    species (static per-species parameters)."""
+    species (static per-species parameters). With chunk > 0 and n_active
+    given, lanes are processed in dynamic-count chunks (see chunk_apply)."""
+    if chunk and n_active is not None:
+        return chunk_apply(
+            bp, n_active, chunk,
+            lambda ch: advance_all_beams(
+                ch, fields, geom, cfgs, pc, dt, min_z, order=order,
+                time=time, background_density_SI=background_density_SI,
+                fine_levels=fine_levels))
     out = bp
     for b, cfg in enumerate(cfgs):
         mask = (bp["beam_id"] == b) if len(cfgs) > 1 else None
@@ -760,33 +841,16 @@ def advance_beam_slice(bp: dict, fields: dict, geom: Geometry,
     return out
 
 
-def deposit_beam_slice(bp: dict, comp_map: dict, fields: dict,
-                       geom: Geometry, cfg, pc: PhysConst,
-                       order: int, normalized_units: bool,
-                       skip_slipped_min_z=None, only_salame: bool = False,
-                       extra_mask=None, geom0: Geometry | None = None):
-    """Deposit beam currents (ref BeamDepositCurrent.cpp:60-200).
-
-    comp_map maps quantity -> destination field name, e.g.
-    {"jz": "jz_beam"} with quantities in {jx, jy, jz, rhomjz}. cfg may be a
-    single BeamConfig or a tuple of configs (multi-beam: per-particle charge
-    via the beam_id attribute). only_salame restricts to SALAME-flagged
-    beams. Slipped particles (z < skip_slipped_min_z, already deposited on
-    their original slice) are excluded when given.
-    """
+def _beam_deposit_values(bp, quantities, cfg, pc, invvol, only_salame,
+                         skip_slipped_min_z, extra_mask):
+    """Per-lane deposit values for deposit_beam_slice (one lane window)."""
     clight_inv = 1.0 / pc.c
     clight_sq = 1.0 / (pc.c * pc.c)
-    # normalized units on a fine MR level: (lev0 area)/(level area)
-    # (ref BeamDepositCurrent.cpp:72-81)
-    g0 = geom0 if geom0 is not None else geom
-    invvol = (g0.dx * g0.dy / (geom.dx * geom.dy) if normalized_units
-              else 1.0 / (geom.dx * geom.dy * geom.dz))
-
     ux, uy, uz = bp["ux"], bp["uy"], bp["uz"]
     gam_inv = 1.0 / jnp.sqrt(1.0 + (ux * ux + uy * uy + uz * uz) * clight_sq)
     mask = bp["valid"]
     if extra_mask is not None:
-        mask = mask & extra_mask
+        mask = mask & bp["_xmask"]
     if skip_slipped_min_z is not None:
         mask = mask & (bp["z"] >= skip_slipped_min_z)
     if isinstance(cfg, (tuple, list)):
@@ -807,10 +871,56 @@ def deposit_beam_slice(bp: dict, comp_map: dict, fields: dict,
         "jz": wq * vz,
         "rhomjz": wq * (1.0 - vz * clight_inv),
     }
+    return [values[q] for q in quantities]
+
+
+def deposit_beam_slice(bp: dict, comp_map: dict, fields: dict,
+                       geom: Geometry, cfg, pc: PhysConst,
+                       order: int, normalized_units: bool,
+                       skip_slipped_min_z=None, only_salame: bool = False,
+                       extra_mask=None, geom0: Geometry | None = None,
+                       chunk: int = 0, n_active=None):
+    """Deposit beam currents (ref BeamDepositCurrent.cpp:60-200).
+
+    comp_map maps quantity -> destination field name, e.g.
+    {"jz": "jz_beam"} with quantities in {jx, jy, jz, rhomjz}. cfg may be a
+    single BeamConfig or a tuple of configs (multi-beam: per-particle charge
+    via the beam_id attribute). only_salame restricts to SALAME-flagged
+    beams. Slipped particles (z < skip_slipped_min_z, already deposited on
+    their original slice) are excluded when given. chunk/n_active enable
+    occupancy-scaled chunked processing (see chunk_apply).
+    """
+    # normalized units on a fine MR level: (lev0 area)/(level area)
+    # (ref BeamDepositCurrent.cpp:72-81)
+    g0 = geom0 if geom0 is not None else geom
+    invvol = (g0.dx * g0.dy / (geom.dx * geom.dy) if normalized_units
+              else 1.0 / (geom.dx * geom.dy * geom.dz))
     quantities = list(comp_map.keys())
     stack = jnp.stack([fields[comp_map[q]] for q in quantities])
-    stack = deposit_multi(stack, bp["x"], bp["y"],
-                          [values[q] for q in quantities], geom, order)
+
+    if chunk and n_active is not None:
+        lanes = {k: bp[k] for k in ("x", "y", "z", "ux", "uy", "uz", "w",
+                                    "valid")}
+        if isinstance(cfg, (tuple, list)):
+            lanes["beam_id"] = bp["beam_id"]
+        if extra_mask is not None:
+            lanes["_xmask"] = extra_mask
+
+        def dep(acc, ch):
+            vals = _beam_deposit_values(ch, quantities, cfg, pc, invvol,
+                                        only_salame, skip_slipped_min_z,
+                                        extra_mask)
+            return deposit_multi(acc, ch["x"], ch["y"], vals, geom, order)
+
+        stack = chunk_reduce(lanes, n_active, chunk, stack, dep)
+    else:
+        bpv = dict(bp)
+        if extra_mask is not None:
+            bpv["_xmask"] = extra_mask
+        vals = _beam_deposit_values(bpv, quantities, cfg, pc, invvol,
+                                    only_salame, skip_slipped_min_z,
+                                    extra_mask)
+        stack = deposit_multi(stack, bp["x"], bp["y"], vals, geom, order)
     out = dict(fields)
     for i, q in enumerate(quantities):
         out[comp_map[q]] = stack[i]

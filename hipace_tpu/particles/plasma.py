@@ -597,20 +597,18 @@ def _banded_main_gather(xp, yp, valid, fields, geom, order, banded,
     keep particles approximately row-sorted; see ops/banded.py). Invalid
     lanes read zeros."""
     from ..ops.banded import banded_gather_main
-    W, K = banded
+    W, K, WX = banded
     G = geom.nguards
     NY, NX = geom.slice_shape
     dx_inv, dy_inv = 1.0 / geom.dx, 1.0 / geom.dy
-    x = (xp - geom.x_pos_offset) * dx_inv
-    y = (yp - geom.y_pos_offset) * dy_inv
-    ix0, wx, dwx = shape_weights_derivative(x, order, 1)
-    iy0, wy, dwy = shape_weights_derivative(y, order, 1)
-    iy0 = jnp.where(valid, iy0 + G, NY)
+    # guard-offset cell positions; invalid lanes get a finite sentinel so
+    # the in-kernel shape factors never see NaN (NaN * ok-mask = NaN)
+    x = jnp.where(valid, (xp - geom.x_pos_offset) * dx_inv + G, 2.0 * NX)
+    y = jnp.where(valid, (yp - geom.y_pos_offset) * dy_inv + G, 2.0 * NY)
     stack = jnp.stack([fields["Psi"], fields["Ez"], fields["Bx"],
                        fields["By"], fields["Bz"]], axis=-1)
     exmby, eypbx, ez, bx, by, bz, lost = banded_gather_main(
-        stack, iy0, wy, dwy, ix0 + G, wx, dwx, NY, NX,
-        W=min(W, NY), K=K)
+        stack, y, x, NY, NX, order, W=min(W, NY), K=K, WX=WX)
     if lost_out is not None:
         lost_out.append(lost)
     return exmby * dx_inv, eypbx * dy_inv, ez, bx, by, bz
@@ -850,18 +848,18 @@ def deposit_plasma(p: dict, stack_comps: list[str], fields: dict,
     stack = jnp.stack([fields[c] for c in stack_comps])
     if banded is not None:
         from ..ops.banded import banded_deposit
-        W, K = banded
+        W, K, WX = banded
         G = geom.nguards
         NY, NX = geom.slice_shape
-        xm = (x - geom.x_pos_offset) / geom.dx
-        ym = (y - geom.y_pos_offset) / geom.dy
-        ix0, wx = shape_weights(xm, order)
-        iy0, wy = shape_weights(ym, order)
-        # invalid lanes (sorted to the tail) must not drag the window anchor
-        iy0 = jnp.where(p["valid"], iy0 + G, NY)
+        # guard-offset cell positions; invalid lanes (sorted to the tail)
+        # get a finite sentinel so they can't drag the window anchor
+        xm = jnp.where(p["valid"],
+                       (x - geom.x_pos_offset) / geom.dx + G, 2.0 * NX)
+        ym = jnp.where(p["valid"],
+                       (y - geom.y_pos_offset) / geom.dy + G, 2.0 * NY)
         vstack = jnp.stack([_val(c) for c in stack_comps], axis=-1)
-        stack, _lost = banded_deposit(stack, iy0, wy, ix0 + G, wx,
-                                      vstack, NY, NX, W=min(W, NY), K=K)
+        stack, _lost = banded_deposit(stack, ym, xm, vstack, NY, NX, order,
+                                      W=min(W, NY), K=K, WX=WX)
         if lost_out is not None:
             lost_out.append(_lost)
     else:
@@ -895,7 +893,7 @@ def fused_plasma_deposits(p: dict, stack_comps: list[str], fields: dict,
     channel grids for combine_explicit_sxsy, called after the Psi/Ez solve.
     """
     from ..ops.banded import banded_deposit, banded_deposit_multi
-    W, K = banded
+    W, K, WX = banded
     charge = cfg.charge
     clight = pc.c
     cin = 1.0 / pc.c
@@ -967,12 +965,11 @@ def fused_plasma_deposits(p: dict, stack_comps: list[str], fields: dict,
     G = geom.nguards
     NY, NX = geom.slice_shape
     Wc = min(W, NY)
-    xm = (x - geom.x_pos_offset) * dx_inv
-    ym = (y - geom.y_pos_offset) * dy_inv
-    ix0, wx, dwx = shape_weights_derivative(xm, order, deriv_type)
-    iy0, wy, dwy = shape_weights_derivative(ym, order, deriv_type)
-    iy0 = jnp.where(p["valid"], iy0 + G, NY)
-    ix0 = ix0 + G
+    # guard-offset cell positions; invalid lanes get a finite sentinel
+    xm = jnp.where(p["valid"],
+                   (x - geom.x_pos_offset) * dx_inv + G, 2.0 * NX)
+    ym = jnp.where(p["valid"],
+                   (y - geom.y_pos_offset) * dy_inv + G, 2.0 * NY)
 
     Cm = len(stack_comps)
     if deriv_type == 2:
@@ -981,12 +978,13 @@ def fused_plasma_deposits(p: dict, stack_comps: list[str], fields: dict,
         # channels deposit with PLAIN weights and the derivative becomes a
         # grid difference in combine_explicit_sxsy — one matrix for all.
         vall = jnp.stack([_val(c) for c in stack_comps] + chans
-                         + [v2[:, 0], v2[:, 1], v3[:, 0], v3[:, 1]], axis=-1)
+                         + [v2[:, 0], v2[:, 1], v3[:, 0], v3[:, 1]],
+                         axis=-1)
         acc = jnp.concatenate([
             jnp.stack([fields[c] for c in stack_comps]),
             jnp.zeros((C1 + 4, NY, NX), x.dtype)])
-        acc, lost = banded_deposit(acc, iy0, wy, ix0, wx, vall, NY, NX,
-                                   W=Wc, K=K)
+        acc, lost = banded_deposit(acc, ym, xm, vall, NY, NX, order,
+                                   W=Wc, K=K, WX=WX, deriv_type=2)
         if lost_out is not None:
             lost_out.append(lost)
         dgrids = (acc[Cm:Cm + C1], acc[Cm + C1:Cm + C1 + 2],
@@ -997,10 +995,13 @@ def fused_plasma_deposits(p: dict, stack_comps: list[str], fields: dict,
             jnp.stack([fields[c] for c in stack_comps]),
             jnp.zeros((C1 + 2, NY, NX), x.dtype)])
         acc, lost1 = banded_deposit_multi(
-            acc, iy0, ((wy, vmain), (dwy, v3)), ix0, wx, NY, NX, W=Wc, K=K)
+            acc, ym, xm, jnp.concatenate([vmain, v3], axis=1),
+            (("w", Cm + C1), ("dw", 2)), NY, NX, order, deriv_type,
+            W=Wc, K=K, WX=WX)
         d2 = jnp.zeros((2, NY, NX), x.dtype)
-        d2, lost2 = banded_deposit(d2, iy0, wy, ix0, dwx, v2, NY, NX,
-                                   W=Wc, K=K)
+        d2, lost2 = banded_deposit(d2, ym, xm, v2, NY, NX, order,
+                                   W=Wc, K=K, WX=WX, deriv_type=deriv_type,
+                                   ykind="w", xkind="dw")
         if lost_out is not None:
             lost_out.append(lost1 + lost2)
         dgrids = (acc[Cm:Cm + C1], d2, acc[Cm + C1:], False)
@@ -1113,8 +1114,12 @@ def explicit_deposition(p: dict, fields: dict, geom: Geometry,
 
     if banded is not None:
         from ..ops.banded import banded_deposit
-        W, K = banded
+        W, K, WX = banded
         Wc = min(W, NY)
+        # guard-offset cell positions with a finite sentinel for invalid
+        # lanes; the kernels compute the shape factors in-body
+        xmb = jnp.where(p["valid"], xm + G, 2.0 * NX)
+        ymb = jnp.where(p["valid"], ym + G, 2.0 * NY)
         qm_psi = q_m * psi_inv
         cin = clight_inv
         base = cd_mu0 * qm_psi
@@ -1130,26 +1135,29 @@ def explicit_deposition(p: dict, fields: dict, geom: Geometry,
         ]
         if use_laser:
             chans.append(0.25 * base * qm_psi)   # u6
-        iy0b = jnp.where(p["valid"], iy0 + G, NY)
         C1 = len(chans)
         d1 = jnp.zeros((C1, NY, NX), x.dtype)
-        d1, _lost1 = banded_deposit(d1, iy0b, wy, ix0 + G, wx,
+        d1, _lost1 = banded_deposit(d1, ymb, xmb,
                                     jnp.stack(chans, axis=-1), NY, NX,
-                                    W=Wc, K=K)
+                                    order, W=Wc, K=K, WX=WX,
+                                    deriv_type=deriv_type)
         if lost_out is not None:
             lost_out.append(_lost1)
         # derivative-weighted channels deposit straight into Sy/Sx
         cdc = cd_mu0 * clight
         v2 = jnp.stack([cdc * dx_inv * vx * vy,
-                        cdc * dx_inv * (gamma_psi - vx * vx - 1.0)], axis=-1)
+                        cdc * dx_inv * (gamma_psi - vx * vx - 1.0)],
+                       axis=-1)
         d2 = jnp.zeros((2, NY, NX), x.dtype)
-        d2, _ = banded_deposit(d2, iy0b, wy, ix0 + G, dwx, v2, NY, NX,
-                               W=Wc, K=K)
+        d2, _ = banded_deposit(d2, ymb, xmb, v2, NY, NX, order,
+                               W=Wc, K=K, WX=WX, deriv_type=deriv_type,
+                               ykind="w", xkind="dw")
         v3 = jnp.stack([-cdc * dy_inv * (gamma_psi - vy * vy - 1.0),
                         -cdc * dy_inv * vx * vy], axis=-1)
         d3 = jnp.zeros((2, NY, NX), x.dtype)
-        d3, _ = banded_deposit(d3, iy0b, dwy, ix0 + G, wx, v3, NY, NX,
-                               W=Wc, K=K)
+        d3, _ = banded_deposit(d3, ymb, xmb, v3, NY, NX, order,
+                               W=Wc, K=K, WX=WX, deriv_type=deriv_type,
+                               ykind="dw", xkind="w")
         bz_f, ez_f = fields["Bz"], fields["Ez"]
         exmby_f, eypbx_f = fields["ExmBy"], fields["EypBx"]
         cinc = jnp.asarray(cin, x.dtype)

@@ -203,13 +203,19 @@ class Simulation:
             collisions=self._collision_cfg(inputs, plasma_names,
                                            [b.name for b in self.beam_cfgs]),
             use_banded=self._banded_auto(inputs),
-            banded_W=inputs.query("hipace.banded_W", 32, int),
-            banded_K=inputs.query("hipace.banded_K", 8192, int),
-            banded_gather_K=inputs.query("hipace.banded_gather_K", 4096,
-                                         int),
+            banded_W=inputs.query("hipace.banded_W", 16, int),
+            banded_K=inputs.query("hipace.banded_K",
+                                  self._banded_auto_k(inputs), int),
+            banded_gather_K=inputs.query("hipace.banded_gather_K",
+                                         self._banded_auto_k(inputs), int),
+            banded_WX=inputs.query("hipace.banded_WX", 0, int),
             slip_cap=inputs.query("hipace.slip_cap", 64, int),
-            banded_sort_period=inputs.query("hipace.banded_sort_period",
-                                            1, int),
+            beam_chunk=inputs.query("hipace.beam_chunk", 0, int),
+            # ref plasmas.reorder_period (PlasmaParticleContainer sorting
+            # cadence) maps to the banded sort period on TPU
+            banded_sort_period=inputs.query(
+                "hipace.banded_sort_period",
+                inputs.query("plasmas.reorder_period", 1, int), int),
             mr_levels=self.mr_levels,
             plasma_pusher=inputs.query("hipace.plasma_pusher", "leapfrog",
                                        str),
@@ -464,6 +470,24 @@ class Simulation:
         default = (not self.mr_levels
                    and self._total_plasma_n() >= 65536)
         return inputs.query("hipace.use_banded", default, bool)
+
+    def _banded_auto_k(self, inputs) -> int:
+        """Default banded chunk size, scaled so a chunk's row span fits the
+        W window at ~1 particle/cell/row: K ~ (W-6)*nx rounded down to a
+        power of two, capped at 8192 (the v5e sweet spot at 1023^2).
+        Chunks that still overflow (vacuum gaps, absorbing boundaries) are
+        handled exactly — but slowly — by the corrective pass."""
+        w = inputs.query("hipace.banded_W", 16, int)
+        # margin for thinned rows: blown-out cavities reduce row occupancy
+        # (a bubble spanning ~half the row widens a chunk's row span ~2x),
+        # the widest stencil is 5 taps (centered derivative, order 2), and
+        # chunks that outgrow the W window fall onto the (slow, exact)
+        # corrective pass — so leave W - 11 rows of nominal span
+        cap = max(256, (w - 11) * self.geom.nx)
+        k = 256
+        while k * 2 <= min(8192, cap):
+            k *= 2
+        return k
 
     def _total_plasma_n(self) -> int:
         g = self.geom

@@ -200,15 +200,27 @@ class SimConfig:
     # (ref OpenBoundary.H; boundary.field = Open)
     open_boundary: bool = False
     use_banded: bool = False
-    # deposit windows/chunks: larger K amortizes per-chunk overhead (the
-    # kernel is chunk-overhead/HBM-bound, not MXU-bound: W=32 measures
-    # FASTER than W=16 on v5e); gathers prefer smaller K
-    banded_W: int = 32
+    # deposit windows/chunks: W=16/K=8192 measures best on v5e (1M parts,
+    # 1023^2, f32: dep6 12.4 ms / gather-main 9.9 / multi 13.4); K too
+    # large for W trips the exact corrective pass every chunk (~40x).
+    # banded_WX > 0 enables 2D (W, WX) windows with the stripe-snake sort
+    # — measured SLOWER than full-row on v5e (per-chunk overhead beats
+    # the flop saving), kept as a tuning knob for narrow-beam decks.
+    banded_W: int = 16
     banded_K: int = 8192
-    banded_gather_K: int = 4096
+    banded_gather_K: int = 8192
+    banded_WX: int = 0
     # re-sort every N slices (drift between sorts consumes banded_W slack;
     # the lost counters catch a too-small W / too-large period)
     banded_sort_period: int = 1
+    # beam lanes processed per while_loop chunk: per-slice cost scales with
+    # occupancy instead of the peak-sized capacity (~6x waste for a
+    # gaussian beam). 0 = whole-capacity processing — the DEFAULT, because
+    # measured through the axon RPC tunnel each while_loop iteration costs
+    # ~1-10 ms of dispatch overhead (62 chunk iterations made the bench
+    # 20x slower); enable on directly-attached TPUs where loop iterations
+    # are ~us.
+    beam_chunk: int = 0
     # transverse mesh refinement levels (fields/mr.py MRLevel tuple,
     # ref Hipace.cpp:327-374; amr.max_level + mr_lev<N>.* parameters)
     mr_levels: tuple = ()
@@ -376,7 +388,7 @@ def _rel_b_field_error(bx, by, bx_it, by_it, geom):
 
 
 def _pc_bxby_solve(f, plasmas, beam_next, cfg: SimConfig, solver, ob=None,
-                   mrctx=None):
+                   mrctx=None, beam_n_active=None):
     """PredictorCorrectorLoopToSolveBxBy (ref Hipace.cpp:936-1031).
 
     mrctx (mesh refinement): (mr, couplers, fine_solvers, fine_f, actives,
@@ -466,9 +478,10 @@ def _pc_bxby_solve(f, plasmas, beam_next, cfg: SimConfig, solver, ob=None,
         fnxt = [{"jx": jnp.zeros(mr[i].geom.slice_shape, jz.dtype),
                  "jy": jnp.zeros(mr[i].geom.slice_shape, jz.dtype)}
                 for i in range(len(mr))]
-        banded = (cfg.banded_W, cfg.banded_K) if cfg.use_banded else None
-        banded_g = (cfg.banded_W, cfg.banded_gather_K) if cfg.use_banded \
-            else None
+        banded = ((cfg.banded_W, cfg.banded_K, cfg.banded_WX)
+                  if cfg.use_banded else None)
+        banded_g = ((cfg.banded_W, cfg.banded_gather_K, cfg.banded_WX)
+                    if cfg.use_banded else None)
         for ip, (p, pcfg) in enumerate(zip(plasmas, cfg.plasmas)):
             if mr:
                 p_tmp = pl.advance_plasma(
@@ -492,14 +505,17 @@ def _pc_bxby_solve(f, plasmas, beam_next, cfg: SimConfig, solver, ob=None,
             for bcfg in cfg.beams:
                 nxt = bm.deposit_beam_slice(beam_next, {"jx": "jx", "jy": "jy"},
                                             nxt, g, bcfg, pc, order,
-                                            cfg.normalized_units)
+                                            cfg.normalized_units,
+                                            chunk=cfg.beam_chunk,
+                                            n_active=beam_n_active)
             for i in range(len(mr)):
                 bmask = in_level_bounds(beam_next["x"], beam_next["y"],
                                         mr[i].geom) & actives[i]
                 fnxt[i] = bm.deposit_beam_slice(
                     beam_next, {"jx": "jx", "jy": "jy"}, fnxt[i],
                     mr[i].geom, cfg.beams, pc, order, cfg.normalized_units,
-                    extra_mask=bmask, geom0=g)
+                    extra_mask=bmask, geom0=g,
+                    chunk=cfg.beam_chunk, n_active=beam_n_active)
         # SolvePoissonBxBy (ref Fields.cpp:1008-1078)
         rhs_bx = rhs_bx_static + pc.mu0 * dz2_inv * (
             prev_jy_i - sl.interior(nxt["jy"], g))
@@ -588,10 +604,16 @@ def _pc_bxby_solve(f, plasmas, beam_next, cfg: SimConfig, solver, ob=None,
 
 
 # ----------------------------------------------------------------------
-def _row_sort(p: dict, geom: Geometry):
+def _row_sort(p: dict, geom: Geometry, stripe_h: int = 0):
     """Sort a plasma SoA by current transverse row (the TPU equivalent of the
     reference's ReorderParticles, ref particles/sorting/...). Invalid lanes
     sink to the tail so they never widen a banded window.
+
+    With stripe_h > 0 the key is the stripe-snake order required by 2D
+    banded windows (ops/banded.py): stripes of stripe_h rows, x-ascending
+    within even stripes and x-descending within odd ones (boustrophedon),
+    so a K-chunk spans <= 2 stripes in y AND a contiguous x range — it
+    fits a (W, WX) window with W >= 2*stripe_h + taps.
 
     Multi-operand lax.sort: every per-particle attribute rides along as a
     sort operand, so ion_lev (ionization), pid, and the 25 AB5 force-history
@@ -600,10 +622,19 @@ def _row_sort(p: dict, geom: Geometry):
     gather to ~20 ns/elem — so the multi-operand form is the fast path.)
     Skips x_prev/y_prev (equal to x/y at slice start — the non-temp push
     syncs them)."""
-    NY = geom.slice_shape[0]
+    NY, NX = geom.slice_shape
     ym = (p["y"] - geom.y_pos_offset) / geom.dy
     key = jnp.clip(jnp.floor(ym).astype(jnp.int32) + geom.nguards, 0, NY)
-    key = jnp.where(p["valid"], key, NY + 1)
+    sentinel = NY + 1
+    if stripe_h > 0:
+        xm = (p["x"] - geom.x_pos_offset) / geom.dx
+        col = jnp.clip(jnp.floor(xm).astype(jnp.int32) + geom.nguards,
+                       0, NX)
+        stripe = key // stripe_h
+        colkey = jnp.where(stripe % 2 == 0, col, NX - col)
+        key = stripe * (NX + 2) + colkey
+        sentinel = (NY // stripe_h + 1) * (NX + 2)
+    key = jnp.where(p["valid"], key, sentinel)
     names = sorted(n for n in p if n not in ("x_prev", "y_prev"))
     res = jax.lax.sort([key] + [p[n] for n in names], num_keys=1)
     out = dict(zip(names, res[1:]))
@@ -634,9 +665,10 @@ def make_slice_step(cfg: SimConfig, dtype):
     g = cfg.geom
     pc = cfg.pc
     order = cfg.depos_order_xy
-    banded = (cfg.banded_W, cfg.banded_K) if cfg.use_banded else None
-    banded_gather = (cfg.banded_W, cfg.banded_gather_K) if cfg.use_banded \
-        else None
+    banded = ((cfg.banded_W, cfg.banded_K, cfg.banded_WX)
+              if cfg.use_banded else None)
+    banded_gather = ((cfg.banded_W, cfg.banded_gather_K, cfg.banded_WX)
+                     if cfg.use_banded else None)
     solver = make_poisson_solver(cfg.poisson_solver, g, dtype)
     mg = MultiGrid(g.nx, g.ny, g.dx, g.dy, dtype) if cfg.explicit else None
     mr = cfg.mr_levels
@@ -720,14 +752,19 @@ def make_slice_step(cfg: SimConfig, dtype):
         # ---- row-sort plasma for the banded MXU kernels (before MR tags:
         # plasma_tags index into the sorted arrays)
         if cfg.use_banded:
+            # stripe-snake key when 2D windows are active: stripes of
+            # (W-8)//2 rows keep any K-chunk within 2 stripes + taps <= W
+            stripe_h = (max(1, (cfg.banded_W - 8) // 2)
+                        if cfg.banded_WX < g.slice_shape[1] else 0)
             if cfg.banded_sort_period > 1:
                 do_sort = (islice % cfg.banded_sort_period) == 0
                 plasmas = [jax.lax.cond(do_sort,
-                                        lambda ps: _row_sort(ps, g),
+                                        lambda ps: _row_sort(ps, g,
+                                                             stripe_h),
                                         lambda ps: ps, p)
                            for p in plasmas]
             else:
-                plasmas = [_row_sort(p, g) for p in plasmas]
+                plasmas = [_row_sort(p, g, stripe_h) for p in plasmas]
 
         # ---- MR: fine InitializeSlices (ref Fields.cpp:541-557) + flags
         if mr:
@@ -854,6 +891,13 @@ def make_slice_step(cfg: SimConfig, dtype):
         plasmas = new_plasmas
 
         # ---- beam deposit on This (pre-push)
+        # occupancy counts for chunked beam ops (valid lanes are compacted
+        # at the front by bin_beam's rank order)
+        bchunk = cfg.beam_chunk
+        cnt_this = (jnp.sum(xs["beam_this"]["valid"])
+                    if (cfg.beams and bchunk) else None)
+        cnt_next = (jnp.sum(xs["beam_next"]["valid"])
+                    if (cfg.beams and bchunk) else None)
         if cfg.beams:
             if cfg.explicit:
                 cmap = {"jz": "jz_beam"}
@@ -866,7 +910,8 @@ def make_slice_step(cfg: SimConfig, dtype):
                     cmap["rhomjz"] = "rhomjz"
             this = bm.deposit_beam_slice(
                 xs["beam_this"], cmap, this, g, cfg.beams, pc,
-                order, cfg.normalized_units)
+                order, cfg.normalized_units,
+                chunk=bchunk, n_active=cnt_this)
 
         # ---- MR: fine-level deposits (deposit predicate tag >= lev,
         # ref PlasmaDepositCurrent.cpp:130) + boundary compensation
@@ -906,7 +951,8 @@ def make_slice_step(cfg: SimConfig, dtype):
                     fth = bm.deposit_beam_slice(
                         xs["beam_this"], fcmap, fth, lv.geom,
                         cfg.beams, pc, order, cfg.normalized_units,
-                        extra_mask=bmask, geom0=g)
+                        extra_mask=bmask, geom0=g,
+                        chunk=bchunk, n_active=cnt_this)
                 # AddRhoIons on the fine level
                 fth = dict(fth)
                 fth["rhomjz"] = fth["rhomjz"] \
@@ -1009,7 +1055,8 @@ def make_slice_step(cfg: SimConfig, dtype):
             if cfg.do_beam_jx_jy_deposition and cfg.beams:
                 nxt = bm.deposit_beam_slice(
                     xs["beam_next"], {"jx": "jx_beam", "jy": "jy_beam"},
-                    f["Next"], g, cfg.beams, pc, order, cfg.normalized_units)
+                    f["Next"], g, cfg.beams, pc, order, cfg.normalized_units,
+                    chunk=bchunk, n_active=cnt_next)
                 f = dict(f, Next=nxt)
             f = _init_sx_sy_with_beam(f, cfg)
             this = f["This"]
@@ -1045,7 +1092,8 @@ def make_slice_step(cfg: SimConfig, dtype):
                             xs["beam_next"],
                             {"jx": "jx_beam", "jy": "jy_beam"},
                             fl["Next"], fg, cfg.beams, pc, order,
-                            cfg.normalized_units, extra_mask=bmask, geom0=g)
+                            cfg.normalized_units, extra_mask=bmask, geom0=g,
+                            chunk=bchunk, n_active=cnt_next)
                     fl = dict(fl, **{"This": fl["This"]})
                     tmp = _init_sx_sy_with_beam(
                         {"This": fl["This"], "Previous": fl["Previous"],
@@ -1133,7 +1181,8 @@ def make_slice_step(cfg: SimConfig, dtype):
             mrctx = ((mr, couplers, fine_solvers, fine_f, actives,
                       plasma_tags) if mr else None)
             f, pc_err, pc_iters = _pc_bxby_solve(
-                f, plasmas, xs["beam_next"], cfg, solver, ob, mrctx=mrctx)
+                f, plasmas, xs["beam_next"], cfg, solver, ob, mrctx=mrctx,
+                beam_n_active=cnt_next)
             this = f["This"]
 
         # ---- per-slice diagnostics (ref Diagnostic.cpp + Fields::Copy)
@@ -1220,7 +1269,9 @@ def make_slice_step(cfg: SimConfig, dtype):
                        for p, pcfg in zip(plasmas, cfg.plasmas)]
 
         # ---- push beam: this slice + slipped carry (ref Hipace.cpp:706-709)
-        combined = {k: jnp.concatenate([xs["beam_this"][k], slip[k]])
+        # slip lanes first: both segments keep their valid lanes compacted
+        # at the front, so chunked processing covers [0, slip_cap + count)
+        combined = {k: jnp.concatenate([slip[k], xs["beam_this"][k]])
                     for k in bm.BEAM_ATTRS + bm.BEAM_INT_ATTRS + ("valid",)}
         if cfg.insitu_beam_period and cfg.beams:
             # pre-push per-beam moments (ref Hipace.cpp:681: after SALAME,
@@ -1238,11 +1289,27 @@ def make_slice_step(cfg: SimConfig, dtype):
                 time=time, background_density_SI=cfg.background_density_SI,
                 fine_levels=(tuple(
                     (fine_f[i]["This"], lv.geom, actives[i])
-                    for i, lv in enumerate(mr)) if mr else ()))
-            # particles that stopped mid-subcycles slip to the carry buffer
+                    for i, lv in enumerate(mr)) if mr else ()),
+                chunk=bchunk,
+                n_active=(cfg.slip_cap + cnt_this) if bchunk else None)
+            # particles that stopped mid-subcycles slip to the carry buffer.
+            # Multi-operand stable sort (argsort + gather is ~17x slower on
+            # TPU), in a 0/1-trip while_loop so slices with nothing slipped
+            # (the common case) skip the sort entirely.
             incomplete = combined["valid"] & (combined["nsub"] > 0)
-            perm = jnp.argsort(jnp.where(incomplete, 0, 1), stable=True)
-            reord = {k: v[perm] for k, v in combined.items()}
+
+            def _slip_sort(state):
+                comb, _ = state
+                names = sorted(comb)
+                skey = jnp.where(comb["valid"] & (comb["nsub"] > 0),
+                                 0, 1).astype(jnp.int32)
+                res = jax.lax.sort([skey] + [comb[n] for n in names],
+                                   num_keys=1, is_stable=True)
+                return dict(zip(names, res[1:])), jnp.zeros((), bool)
+
+            reord, _ = jax.lax.while_loop(
+                lambda s: s[1], _slip_sort,
+                (combined, jnp.any(incomplete)))
             new_slip = {k: v[:cfg.slip_cap] for k, v in reord.items()}
             new_slip["valid"] = new_slip["valid"] & (new_slip["nsub"] > 0)
             n_incomplete = jnp.sum(incomplete)

@@ -118,6 +118,100 @@ CASES = [
      f"{REF}/examples/blowout_wake/inputs_ionization_SI",
      ["hipace.dt=1e-12", "diagnostic.output_period=2", "max_step=2"],
      5e-2, (), False),
+    ("gaussian_linear_wake.normalized.1Rank",
+     f"{REF}/examples/linear_wake/inputs_normalized",
+     ["beam.profile=gaussian", "beam.zmin=-5.9", "beam.zmax=5.9",
+      "beam.radius=10", "beam.position_mean=0. 0. 0",
+      "beam.position_std=2 2 1.41", "geometry.prob_lo=-10. -10. -6",
+      "geometry.prob_hi=10. 10. 6", "diagnostic.field_data=all rho"],
+     5e-3, (), False),
+    ("gaussian_linear_wake.SI.1Rank",
+     f"{REF}/examples/linear_wake/inputs_SI",
+     ["beam.profile=gaussian", "beam.zmin=-59.e-6", "beam.zmax=59.e-6",
+      "beam.radius=100.e-6", "beam.position_mean=0. 0. 0",
+      "beam.position_std=20.e-6 20.e-6 14.1e-6",
+      "geometry.prob_lo=-100.e-6 -100.e-6 -60.e-6",
+      "geometry.prob_hi=100.e-6 100.e-6 60.e-6",
+      "diagnostic.field_data=all rho"],
+     5e-3, (), False),
+    # the script's checksum evaluates its LAST run: the SI deck with no
+    # overrides (the tilted-beam runs only feed analysis.py). 100k random
+    # draws from a different RNG stream: statistical rtol (ref uses .01)
+    ("gaussian_weight.1Rank",
+     f"{REF}/examples/gaussian_weight/inputs_SI",
+     [], 1e-2, (), False),
+    ("adaptive_time_step.1Rank",
+     f"{REF}/examples/beam_in_vacuum/inputs_normalized",
+     ["amr.n_cell=32 32 32", "max_step=20",
+      "geometry.prob_lo=-2. -2. -2.", "geometry.prob_hi=2. 2. 2.",
+      "diagnostic.output_period=20", "beam.density=1", "beam.radius=1.",
+      "beam.n_subcycles=4", "beam.ppc=4 4 1",
+      "beams.external_E(x,y,z,t)=0. 0. .5*z", "hipace.dt=adaptive",
+      "plasmas.adaptive_density=1",
+      "hipace.nt_per_betatron=89.7597901025655"],
+     5e-3, (), False),
+    ("beam_evolution.1Rank",
+     f"{REF}/examples/beam_in_vacuum/inputs_normalized",
+     ["amr.n_cell=32 32 10", "max_step=20",
+      "geometry.prob_lo=-2. -2. -2.", "geometry.prob_hi=2. 2. 2.",
+      "hipace.dt=3.", "diagnostic.output_period=20",
+      "beam.density=1.e-8", "beam.radius=1.", "beam.ppc=4 4 1",
+      "beams.external_E(x,y,z,t)=.5*x .5*y 0."],
+     5e-3, (), False),
+    ("reset.2Rank",
+     f"{REF}/examples/blowout_wake/inputs_normalized",
+     ["max_step=2", "hipace.MG_tolerance_rel=1e-5"],
+     5e-3, (), False),
+    # collisions draw from a different RNG stream than the reference:
+    # statistical agreement only
+    ("collisions.SI.1Rank",
+     f"{REF}/examples/blowout_wake/inputs_SI",
+     ["hipace.collisions=collision1", "collision1.species=plasma plasma"],
+     5e-2, (), False),
+    ("collisions_beam.SI.1Rank",
+     f"{REF}/examples/blowout_wake/inputs_SI",
+     ["hipace.collisions=collision1", "collision1.species=beam plasma"],
+     5e-2, (), False),
+    # same command line as blowout_wake_explicit.2Rank (the reference's
+    # two JSONs are byte-identical); the script's second leg also runs
+    # plasmas.reorder_period=4, exercised here via the sort-period map
+    ("blowout_wake.2Rank",
+     f"{REF}/examples/blowout_wake/inputs_normalized",
+     ["max_step=1", "plasmas.reorder_period=4", "hipace.use_banded=1"],
+     5e-3, SXSYCHI, False),
+    # 1M-draw fixed_weight beam from a different RNG stream: statistical
+    # agreement (~N^-1/2) only
+    ("hosing.2Rank",
+     f"{REF}/examples/blowout_wake/inputs_normalized",
+     ["hipace.dt=20", "diagnostic.output_period=10", "max_step=10",
+      "beam.injection_type=fixed_weight", "beam.num_particles=1000000",
+      "beam.density=200", "beam.position_std=0.1 0.1 1.41",
+      "beam.dx_per_dzeta=0.2", "plasmas.names=plasma ions",
+      "plasma.neutralize_background=0", "ions.density(x,y,z)=1.",
+      "ions.ppc=1 1", "ions.charge=1", "ions.mass=1836",
+      "ions.neutralize_background=0"],
+     2e-2, SXSYCHI, False),
+    ("laser_evolution.SI.2Rank",
+     f"{REF}/examples/laser/inputs_SI",
+     ["lasers.solver_type=fft"], 5e-3, (), True),
+    ("beam_in_vacuum.normalized.1Rank",
+     f"{REF}/examples/beam_in_vacuum/inputs_normalized",
+     ["hipace.depos_order_xy=0", "diagnostic.field_data=all rho",
+      "hipace.MG_tolerance_rel=1e-5"],
+     5e-3, (), False),
+    ("beam_in_vacuum.SI.1Rank",
+     f"{REF}/examples/beam_in_vacuum/inputs_SI",
+     ["hipace.depos_order_xy=0", "diagnostic.field_data=all rho",
+      "hipace.MG_tolerance_rel=1e-5"],
+     5e-3, (), False),
+    # the full 1023^2 x 1000-slice bench deck: heavy on CPU (~10 min),
+    # run with -k transverse explicitly or as part of the full suite
+    ("transverse_benchmark.1Rank",
+     f"{REF}/examples/benchmarks/inputs_transverse_benchmark",
+     ["diagnostic.output_period=1", "my_constants.nxy=1023"],
+     5e-3, SXSYCHI, False),
+    # reset.1Rank: stale old-format benchmark JSON with no test script in
+    # the reference CI — not mirrored (reset.2Rank covers the deck)
     ("production.SI.2Rank_pwfa",
      f"{REF}/examples/get_started/inputs_pwfa",
      ["max_step=10", "amr.n_cell=64 64 100"],

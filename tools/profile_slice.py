@@ -35,13 +35,29 @@ def summarize(trace_dir: str, top: int = 40):
             pid_names[e["pid"]] = e["args"].get("name", "")
     dev_pids = {p for p, n in pid_names.items()
                 if "TPU" in n or "Device" in n or "/device:" in n}
-    tot = defaultdict(float)
-    cnt = defaultdict(int)
+    # self time: subtract directly-nested child events (per pid/tid lane)
+    lanes = defaultdict(list)
     for e in events:
         if e.get("ph") == "X" and e.get("pid") in dev_pids:
-            name = e.get("name", "?")
-            tot[name] += e.get("dur", 0.0)
-            cnt[name] += 1
+            lanes[(e["pid"], e.get("tid"))].append(e)
+    tot = defaultdict(float)
+    cnt = defaultdict(int)
+    for lane in lanes.values():
+        lane.sort(key=lambda e: (e["ts"], -e.get("dur", 0.0)))
+        stack = []          # entries [end_ts, child_dur_acc, event]
+        done = []
+        for e in lane:
+            ts, dur = e["ts"], e.get("dur", 0.0)
+            while stack and ts >= stack[-1][0]:
+                done.append(stack.pop())
+            if stack:
+                stack[-1][1] += dur
+            stack.append([ts + dur, 0.0, e])
+            cnt[e.get("name", "?")] += 1
+        done.extend(stack)
+        for end, child_dur, e in done:
+            tot[e.get("name", "?")] += max(
+                0.0, e.get("dur", 0.0) - child_dur)
     items = sorted(tot.items(), key=lambda kv: -kv[1])
     total = sum(tot.values())
     print(f"{'op':60s} {'ms':>10s} {'count':>8s} {'%':>6s}")
