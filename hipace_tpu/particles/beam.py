@@ -48,6 +48,9 @@ class BeamConfig:
     u_mean: tuple[float, float, float] = (0.0, 0.0, 0.0)
     u_std: tuple[float, float, float] = (0.0, 0.0, 0.0)
     duz_per_uz0_dzeta: float = 0.0
+    # 4-fold transverse mirror: draw N/4, add (+x,+y) (-x,+y) (+x,-y)
+    # (-x,-y) with matching (+-ux, +-uy) (ref Init.cpp:453-472)
+    do_symmetrize: bool = False
     z_foc: float = 0.0
     ppc: tuple[int, int, int] = (1, 1, 1)
     density_expr: str = "1."
@@ -56,7 +59,6 @@ class BeamConfig:
     do_salame: bool = False
     particle_boundary: str = "Absorbing"
     particle_bounds: tuple | None = None
-    dx_per_dzeta: float = 0.0
     # external fields: 6 expressions of (x,y,z,t) for Ex,Ey,Ez,Bx,By,Bz
     # (ref BeamParticleContainer.cpp:72-88, ExternalFields.H)
     use_external_fields: bool = False
@@ -101,6 +103,15 @@ class BeamConfig:
         mass = pp.query("mass", mass)
         charge = pp.query("charge", charge)
 
+        # ref BeamParticleContainer.cpp:52-55: dx/dy_per_dzeta were
+        # replaced by position_mean expressions of z
+        for dep in ("dx_per_dzeta", "dy_per_dzeta"):
+            if pp.contains(dep):
+                raise ValueError(
+                    f"{name}.{dep} is no longer supported; use "
+                    '{name}.position_mean = "x_center+(z-z_center)'
+                    '*dx_per_dzeta" "y_center+(z-z_center)*dy_per_dzeta" '
+                    '"z_center" instead')
         injection = pp.get("injection_type", str)
         profile = pp.query("profile", "gaussian", str)
         num_particles = pp.query("num_particles", 0, int)
@@ -170,6 +181,7 @@ class BeamConfig:
             u_std=tuple(pp.query_list("u_std", [0.0, 0.0, 0.0]))
             if injection != "fixed_weight_pdf" else (0.0, 0.0, 0.0),
             duz_per_uz0_dzeta=pp.query("duz_per_uz0_dzeta", 0.0),
+            do_symmetrize=pp.query("do_symmetrize", False, bool),
             z_foc=pp.query("z_foc", 0.0),
             ppc=tuple(pp.query_list("ppc", [1, 1, 1], int)),
             density_expr=density_expr,
@@ -381,20 +393,22 @@ def _init_from_file(cfg: BeamConfig, dtype) -> dict:
 
 def _init_fixed_weight(cfg: BeamConfig, geom: Geometry, key, dtype) -> dict:
     n = cfg.num_particles
+    nd = n // 4 if cfg.do_symmetrize else n
     kz, kx, ky, ku = jax.random.split(key, 4)
     if cfg.profile == "can":
-        z = cfg.zmin + (cfg.zmax - cfg.zmin) * jax.random.uniform(kz, (n,), dtype)
+        z = cfg.zmin + (cfg.zmax - cfg.zmin) * jax.random.uniform(
+            kz, (nd,), dtype)
         z_mean = 0.5 * (cfg.zmin + cfg.zmax)
     else:
         z_mean = cfg.position_mean[2]
-        z = z_mean + cfg.position_std[2] * jax.random.normal(kz, (n,), dtype)
-    x = cfg.position_std[0] * jax.random.normal(kx, (n,), dtype)
-    y = cfg.position_std[1] * jax.random.normal(ky, (n,), dtype)
+        z = z_mean + cfg.position_std[2] * jax.random.normal(kz, (nd,), dtype)
+    x = cfg.position_std[0] * jax.random.normal(kx, (nd,), dtype)
+    y = cfg.position_std[1] * jax.random.normal(ky, (nd,), dtype)
 
     k0, k1, k2 = jax.random.split(ku, 3)
-    ux = cfg.u_mean[0] + cfg.u_std[0] * jax.random.normal(k0, (n,), dtype)
-    uy = cfg.u_mean[1] + cfg.u_std[1] * jax.random.normal(k1, (n,), dtype)
-    uz = cfg.u_mean[2] + cfg.u_std[2] * jax.random.normal(k2, (n,), dtype)
+    ux = cfg.u_mean[0] + cfg.u_std[0] * jax.random.normal(k0, (nd,), dtype)
+    uy = cfg.u_mean[1] + cfg.u_std[1] * jax.random.normal(k1, (nd,), dtype)
+    uz = cfg.u_mean[2] + cfg.u_std[2] * jax.random.normal(k2, (nd,), dtype)
     # z-correlated energy chirp (ref GetInitialMomentum.H:47)
     uz = uz + (z - z_mean) * cfg.duz_per_uz0_dzeta * cfg.u_mean[2]
 
@@ -403,10 +417,23 @@ def _init_fixed_weight(cfg: BeamConfig, geom: Geometry, key, dtype) -> dict:
     # ballistic propagation to focal plane (ref Init.cpp:445-447)
     x = x - cfg.z_foc * ux / uz
     y = y - cfg.z_foc * uy / uz
+    if cfg.do_symmetrize:
+        # quadruple each draw with mirrored transverse deviations and
+        # momenta (ref Init.cpp:458-472)
+        sx = jnp.asarray([1.0, -1.0, 1.0, -1.0], dtype)
+        sy = jnp.asarray([1.0, 1.0, -1.0, -1.0], dtype)
+        x = (x[:, None] * sx).reshape(-1)
+        y = (y[:, None] * sy).reshape(-1)
+        ux = (ux[:, None] * sx).reshape(-1)
+        uy = (uy[:, None] * sy).reshape(-1)
+        z = jnp.repeat(z, 4)
+        uz = jnp.repeat(uz, 4)
+        valid = jnp.repeat(valid, 4)
+        n = 4 * nd
     x = x + jnp.asarray(cfg.mean_fn(0)(z), dtype)
     y = y + jnp.asarray(cfg.mean_fn(1)(z), dtype)
 
-    w = jnp.full((n,), cfg.total_charge / max(n, 1), dtype)
+    w = jnp.full((n,), cfg.total_charge / max(cfg.num_particles, 1), dtype)
     w = jnp.where(valid, w, 0.0)
     # momenta stored as proper velocity * c in SI (c=1 normalized)
     out = {"x": x, "y": y, "z": z, "ux": ux, "uy": uy, "uz": uz,

@@ -304,7 +304,10 @@ class Simulation:
             avail = set(all_comps) | {"rho"} | ({"chi"} if use_laser
                                                 else set())
         if use_laser:
+            # aabs is an allocated comp with lasers on (ref
+            # Fields.cpp:89,137), so field_data=all writes it
             avail |= {"aabs"}
+            all_comps = all_comps + ["aabs"]
         avail |= {f"rho_{p}" for p in plasma_names}
         dd = inputs.prefix("diagnostic")
         dep_rho = inputs.query("hipace.deposit_rho", False, bool)
@@ -477,7 +480,7 @@ class Simulation:
         power of two, capped at 8192 (the v5e sweet spot at 1023^2).
         Chunks that still overflow (vacuum gaps, absorbing boundaries) are
         handled exactly — but slowly — by the corrective pass."""
-        w = inputs.query("hipace.banded_W", 16, int)
+        w = inputs.query("hipace.banded_W", 32, int)
         # margin for thinned rows: blown-out cavities reduce row occupancy
         # (a bubble spanning ~half the row widens a chunk's row span ~2x),
         # the widest stencil is 5 taps (centered derivative, order 2), and

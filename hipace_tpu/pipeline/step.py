@@ -200,13 +200,14 @@ class SimConfig:
     # (ref OpenBoundary.H; boundary.field = Open)
     open_boundary: bool = False
     use_banded: bool = False
-    # deposit windows/chunks: W=16/K=8192 measures best on v5e (1M parts,
-    # 1023^2, f32: dep6 12.4 ms / gather-main 9.9 / multi 13.4); K too
-    # large for W trips the exact corrective pass every chunk (~40x).
+    # deposit windows/chunks: W=32/K=8192 measures best END-TO-END on the
+    # v5e transverse benchmark (16.4 slices/s vs 14.5 at W=16/K=4096):
+    # the wider window keeps blowout-thinned chunks off the exact-but-slow
+    # corrective pass, worth more than the extra MXU flops.
     # banded_WX > 0 enables 2D (W, WX) windows with the stripe-snake sort
     # — measured SLOWER than full-row on v5e (per-chunk overhead beats
     # the flop saving), kept as a tuning knob for narrow-beam decks.
-    banded_W: int = 16
+    banded_W: int = 32
     banded_K: int = 8192
     banded_gather_K: int = 8192
     banded_WX: int = 0

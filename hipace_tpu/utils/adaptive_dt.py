@@ -25,6 +25,10 @@ class AdaptiveTimeStepConfig:
     control_phase_advance: bool = True
     phase_tolerance: float = 4e-4
     phase_substeps: int = 2000
+    # plasmas.adaptive_density: extra density floor entering the max over
+    # species (ref MultiPlasma.cpp:21,66) — lets beam-in-vacuum decks run
+    # adaptive dt
+    adaptive_density: float = 0.0
 
     @classmethod
     def from_inputs(cls, inputs: Inputs) -> "AdaptiveTimeStepConfig":
@@ -32,6 +36,7 @@ class AdaptiveTimeStepConfig:
         enabled = pp.query("dt", "", str) == "adaptive"
         return cls(
             enabled=enabled,
+            adaptive_density=inputs.query("plasmas.adaptive_density", 0.0),
             nt_per_betatron=pp.query("nt_per_betatron", 20.0),
             dt_max=pp.query("dt_max", float("inf")),
             threshold_uz=pp.query("adaptive_threshold_uz", 2.0),
@@ -87,7 +92,8 @@ def calculate_from_min_uz(cfg: AdaptiveTimeStepConfig, moments: dict,
     niter = numprocs if cfg.predict_step else 1
     out_dt = dt
     for _ in range(niter):
-        n_q = max_charge_density(plasma_cfgs, pc, pc.c * new_time)
+        n_q = max_charge_density(plasma_cfgs, pc, pc.c * new_time,
+                                 cfg.adaptive_density)
         if n_q <= 0.0:
             raise ValueError("adaptive dt needs a >0 plasma density")
         min_uz = max(min_uz, 0.001 * cfg.threshold_uz)
@@ -110,7 +116,8 @@ def calculate_from_density(cfg: AdaptiveTimeStepConfig, plasma_cfgs,
         return dt
     import numpy as np
     dt_sub = dt / cfg.phase_substeps
-    n0 = max_charge_density(plasma_cfgs, pc, pc.c * t)
+    n0 = max_charge_density(plasma_cfgs, pc, pc.c * t,
+                            cfg.adaptive_density)
     omgb0 = math.sqrt(n0 / (2.0 * min_uz_mq * pc.ep0))
     zs = pc.c * (t + np.arange(cfg.phase_substeps) * dt_sub)
     n_of_z = np.zeros_like(zs)

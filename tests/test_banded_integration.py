@@ -28,7 +28,6 @@ beam.u_mean = 0. 0. 2000.
 beam.u_std = 0. 0. 0.
 beam.position_mean = 0. 0. 0.
 beam.position_std = 0.3 0.3 1.41
-beam.dx_per_dzeta = 0.0
 beam.do_symmetrize = 0
 plasmas.names = elec
 elec.density(x,y,z) = 1.
