@@ -31,19 +31,12 @@ import jax.numpy as jnp
 ROUND1_BASELINE = 27.677  # slices/s, BENCH_r01.json
 
 
-def _probe_backend(timeout=240):
+def _probe_backend(timeout=45):
     """The tunneled TPU backend can go UNAVAILABLE and then jax.devices()
     HANGS (not raises); probe in a subprocess so the bench fails fast
-    with an explanatory record instead of hanging the driver."""
-    import subprocess
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c",
-             "import jax; print(jax.devices()[0].platform)"],
-            capture_output=True, text=True, timeout=timeout)
-        return r.returncode == 0
-    except subprocess.TimeoutExpired:
-        return False
+    (<60 s) with an explanatory record instead of hanging the driver."""
+    from hipace_tpu.utils.backend import probe_backend
+    return probe_backend(timeout)
 
 
 def main():

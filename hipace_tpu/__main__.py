@@ -16,6 +16,15 @@ def main(argv=None):
     if not argv:
         print("usage: python -m hipace_tpu <inputs_file> [key=value ...]")
         return 1
+    # fail fast (not hang) when the tunneled TPU backend is down — see
+    # utils/backend.py; jax.devices() below would otherwise freeze with
+    # no output
+    from .utils.backend import probe_backend
+    if not probe_backend():
+        print("hipace_tpu: default jax backend unavailable (device probe "
+              "hung). If the TPU tunnel is down, run on CPU with "
+              "JAX_PLATFORMS=cpu.", file=sys.stderr)
+        return 2
     import jax
 
     from .parser import Inputs

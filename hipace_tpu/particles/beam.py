@@ -115,6 +115,14 @@ class BeamConfig:
         injection = pp.get("injection_type", str)
         profile = pp.query("profile", "gaussian", str)
         num_particles = pp.query("num_particles", 0, int)
+        if pp.query("do_symmetrize", False, bool) and num_particles % 4:
+            # silently truncating to 4*(n//4) would under-deposit total
+            # charge; the reference hard-errors too
+            # (ref BeamParticleContainer.cpp:176)
+            raise ValueError(
+                f"{name}.do_symmetrize requires "
+                f"{name}.num_particles ({num_particles}) to be divisible "
+                "by 4")
         density = pp.query("density", 0.0)
         if injection == "fixed_weight_pdf":
             # position/momentum params are expressions of z, parsed below

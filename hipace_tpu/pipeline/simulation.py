@@ -203,7 +203,8 @@ class Simulation:
             collisions=self._collision_cfg(inputs, plasma_names,
                                            [b.name for b in self.beam_cfgs]),
             use_banded=self._banded_auto(inputs),
-            banded_W=inputs.query("hipace.banded_W", 16, int),
+            banded_W=inputs.query("hipace.banded_W", SimConfig.banded_W,
+                                  int),
             banded_K=inputs.query("hipace.banded_K",
                                   self._banded_auto_k(inputs), int),
             banded_gather_K=inputs.query("hipace.banded_gather_K",
@@ -480,7 +481,7 @@ class Simulation:
         power of two, capped at 8192 (the v5e sweet spot at 1023^2).
         Chunks that still overflow (vacuum gaps, absorbing boundaries) are
         handled exactly — but slowly — by the corrective pass."""
-        w = inputs.query("hipace.banded_W", 32, int)
+        w = inputs.query("hipace.banded_W", SimConfig.banded_W, int)
         # margin for thinned rows: blown-out cavities reduce row occupancy
         # (a bubble spanning ~half the row widens a chunk's row span ~2x),
         # the widest stencil is 5 taps (centered derivative, order 2), and
@@ -860,9 +861,12 @@ class Simulation:
             if self.adt_cfg.enabled and self.beam_cfgs:
                 mom = {k: float(v[-1]) for k, v in res["moments"].items()}
                 mom["min_uz"] = float(res["min_uz"][-1])
+                # multi-rank prediction ladder: iterate the dt prediction
+                # numprocs=n_dev times like the reference pipeline
+                # (ref AdaptiveTimeStep.cpp:338-370)
                 self.dt, self._min_uz_mq = adt.calculate_from_min_uz(
                     self.adt_cfg, mom, self.beam_cfgs[0], self.plasma_cfgs,
-                    self.pc, self.time, self.dt)
+                    self.pc, self.time, self.dt, numprocs=n_dev)
             step += n_dev
         return self
 
