@@ -6,9 +6,11 @@ ElasticCollisionPerez.H, UpdateMomentumPerez.H, ComputeTemperature.H):
 the per-cell binning + Fisher-Yates shuffle becomes a sort by (cell, random)
 — equivalent in distribution — and the sequential per-cell pairing loop
 becomes one vectorized pass over pairs (rank r paired with rank r + n/2
-within its cell). Cyclic reuse of particles in unevenly-sized pairings is
-replaced by floor(n/2) unique pairs; the collision probability `s` carries
-the same n1*n2/n12 density scaling, so the statistics agree to O(1/n_cell).
+within its cell). Same-species cells with ODD counts match the reference's
+cyclic reuse exactly (ref ElasticCollisionPerez.H:146-188: ceil(n/2) pairs,
+the first lead colliding twice): a second masked kick pass pairs rank 0
+with rank n-1 using the post-first-kick momenta, sequentially like the
+reference's loop.
 
 All momenta here are proper velocities u = gamma*beta*c; plasma particles
 carry (ux, uy, psi), beams (ux, uy, uz).
@@ -232,10 +234,14 @@ def plasma_plasma_collision(p1: dict, p2: dict, geom: Geometry, cfg1, cfg2,
     my_cell = jnp.clip(cs, 0, ncell - 1)
     rank = pos - starts[my_cell]
     n_in_cell = counts[my_cell]
-    h = (n_in_cell + 1) // 2
-    npairs = n_in_cell - h  # floor(n/2)
-    is_a = rank < npairs    # pair lead
-    partner_pos = jnp.where(is_a, pos + h, pos)
+    nh = n_in_cell // 2     # group-1 size NI1 (ref CoulombCollision.cpp:122)
+    is_a = rank < nh        # pair lead: rank k pairs rank k + NI1
+    partner_pos = jnp.where(is_a, pos + nh, pos)
+    # odd cells: the reference runs max(NI1,NI2)=ceil(n/2) pairs with
+    # cyclic index reuse, so lead rank 0 collides a SECOND time with the
+    # leftover rank n-1 (ref ElasticCollisionPerez.H:146-188)
+    is_wrap = (n_in_cell % 2 == 1) & (n_in_cell >= 3) & (rank == 0)
+    wrap_pos = jnp.where(is_wrap, pos + n_in_cell - 1, pos)
 
     ux = p["ux"][idx]
     uy = p["uy"][idx]
@@ -260,10 +266,13 @@ def plasma_plasma_collision(p1: dict, p2: dict, geom: Geometry, cfg1, cfg2,
     T_cell = mass / 3.0 * (vs_m - (vx_m**2 + vy_m**2 + vz_m**2))
 
     n1_cell = cellsum(w)  # same species: n1 = n2 = total
-    # n12 = 2 * sum over pairs of min(w_a, w_b) (ref ElasticCollisionPerez:106-116)
+    # n12 = 2 * sum over the ceil(n/2) (wrapped) pairs of min(w_a, w_b)
+    # (ref ElasticCollisionPerez.H:106-116)
     w_partner = w[jnp.clip(partner_pos, 0, n - 1)]
     pair_min = jnp.where(is_a, jnp.minimum(w, w_partner), 0.0)
-    n12_cell = 2.0 * cellsum(pair_min)
+    w_wrap = w[jnp.clip(wrap_pos, 0, n - 1)]
+    wrap_min = jnp.where(is_wrap, jnp.minimum(w, w_wrap), 0.0)
+    n12_cell = 2.0 * cellsum(pair_min + wrap_min)
 
     dens_fac = background_density_SI if normalized_units else inv_dV
     n1 = n1_cell * dens_fac
@@ -308,10 +317,44 @@ def plasma_plasma_collision(p1: dict, p2: dict, geom: Geometry, cfg1, cfg2,
     new_ux = jnp.where(pair_ok, a1x, ux)
     new_uy = jnp.where(pair_ok, a1y, uy)
     new_uz = jnp.where(pair_ok, a1z, uz)
-    # partner updates scattered
-    new_ux = new_ux.at[bpos].set(jnp.where(pair_ok, a2x, new_ux[bpos]))
-    new_uy = new_uy.at[bpos].set(jnp.where(pair_ok, a2y, new_uy[bpos]))
-    new_uz = new_uz.at[bpos].set(jnp.where(pair_ok, a2z, new_uz[bpos]))
+
+    # partner updates scattered FROM LEAD LANES ONLY: non-lead lanes have
+    # partner_pos == pos, and writing their (unchanged) self value races
+    # the lead's write at the same index — XLA duplicate-index .set() is
+    # last-write-wins, which silently dropped the partner kick. Route
+    # non-lead writes to a discarded dummy slot instead.
+    def _scatter_partner(base, vals, ok, tgt):
+        arr = jnp.concatenate([base, jnp.zeros((1,), base.dtype)])
+        arr = arr.at[jnp.where(ok, tgt, n)].set(
+            jnp.where(ok, vals, 0.0))
+        return arr[:-1]
+
+    new_ux = _scatter_partner(new_ux, a2x, pair_ok, bpos)
+    new_uy = _scatter_partner(new_uy, a2y, pair_ok, bpos)
+    new_uz = _scatter_partner(new_uz, a2z, pair_ok, bpos)
+
+    # ---- wrap pass (odd cells): rank 0 collides again with rank n-1,
+    # AFTER its first kick — sequential like the reference's per-cell loop
+    # (ref ElasticCollisionPerez.H:148: k = NI1 reuses i1 = I1s)
+    wpos = jnp.clip(wrap_pos, 0, n - 1)
+    g_w = jnp.sqrt(1.0 + (new_ux**2 + new_uy**2 + new_uz**2) * inv_c2)
+    psi_w = g_w - new_uz * inv_c
+    q_bw = q * ion[wpos] if ion is not None else q
+    dt_fac_w = 0.5 * (g_w / psi_w + (g_w / psi_w)[wpos])
+    (b1x, b1y, b1z), (b2x, b2y, b2z) = _pair_kick(
+        new_ux, new_uy, new_uz, g_w,
+        new_ux[wpos], new_uy[wpos], new_uz[wpos], g_w[wpos],
+        n1[mc], n1[mc], n12[mc],
+        q_a, mass, w, q_bw, mass, w[wpos],
+        dt * dt_fac_w, coulomb_log, lmdD[mc], normalized_units,
+        [jax.random.fold_in(k, 1) for k in keys])
+    wrap_ok = is_wrap & (w > 0) & (w[wpos] > 0) & (cs < ncell)
+    new_ux = jnp.where(wrap_ok, b1x, new_ux)
+    new_uy = jnp.where(wrap_ok, b1y, new_uy)
+    new_uz = jnp.where(wrap_ok, b1z, new_uz)
+    new_ux = _scatter_partner(new_ux, b2x, wrap_ok, wpos)
+    new_uy = _scatter_partner(new_uy, b2y, wrap_ok, wpos)
+    new_uz = _scatter_partner(new_uz, b2z, wrap_ok, wpos)
 
     g_new = jnp.sqrt(1.0 + (new_ux**2 + new_uy**2 + new_uz**2) * inv_c2)
     new_psi = g_new - new_uz * inv_c

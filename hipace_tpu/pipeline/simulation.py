@@ -77,18 +77,18 @@ class Simulation:
         self._spawn_extra = [0] * len(plasma_cfgs)
         for i, pcfg in enumerate(plasma_cfgs):
             if pcfg.can_ionize and pcfg.ionization_product:
-                if pcfg.fine_patch_expr:
-                    raise ValueError("fine_patch + ionization not supported "
-                                     "(spawn slots assume ppc-based counts)")
                 import dataclasses as _dc
                 adk = pl.adk_constants(pcfg, self.geom.dz,
                                        self.normalized_units, bg_si)
                 plasma_cfgs[i] = _dc.replace(pcfg, adk=adk)
                 j = plasma_names.index(pcfg.ionization_product)
-                parent_count = (self.geom.nx * self.geom.ny
-                                * pcfg.ppc[0] * pcfg.ppc[1])
-                own = (self.geom.nx * self.geom.ny
-                       * plasma_cfgs[j].ppc[0] * plasma_cfgs[j].ppc[1])
+                # static counts incl. fine-patch particles (spawn slots
+                # are addressed by parent lane index, so only capacity
+                # depends on the count)
+                parent_count = pl.plasma_count(pcfg, self.geom, self.dtype,
+                                               self.normalized_units)
+                own = pl.plasma_count(plasma_cfgs[j], self.geom, self.dtype,
+                                      self.normalized_units)
                 spawn_base = own + self._spawn_extra[j]
                 self._spawn_extra[j] += parent_count * len(adk)
                 ionization_pairs.append(
@@ -674,16 +674,48 @@ class Simulation:
             out["banded_lost"] = jnp.sum(ys["banded_lost"])
         if "slip_overflow" in ys:
             out["slip_overflow"] = jnp.sum(ys["slip_overflow"])
+            out["slip_need"] = jnp.max(ys["slip_need"])
         if "spawn_lost" in ys:
             out["spawn_lost"] = jnp.sum(ys["spawn_lost"])
         return out
 
     # ------------------------------------------------------------------
+    def _grow_slip_cap(self, need: int, step) -> None:
+        """Grow hipace.slip_cap (next power of two covering `need`, at
+        least doubled) and rebuild the jitted step.  Used by the exact
+        slipped-beam handling: the reference moves ALL slipped particles
+        to the Next slice (ref SliceSort.H:16-24); here the fixed-capacity
+        carry is re-sized on the host and the step re-run, so no particle
+        is ever emitted partially pushed."""
+        import sys
+        new_cap = max(self.cfg.slip_cap * 2,
+                      1 << max(1, int(need) - 1).bit_length())
+        print(f"NOTE: step {step}: growing hipace.slip_cap "
+              f"{self.cfg.slip_cap} -> {new_cap} (a slice had {need} "
+              "slipped beam particles) and re-running the step exactly",
+              file=sys.stderr)
+        self.cfg = dataclasses.replace(self.cfg, slip_cap=new_cap)
+        self._step_fn = jax.jit(partial(self._time_step))
+
     def run_step(self, step: int):
         self.key, sub = jax.random.split(self.key)
-        res = self._step_fn(self.binned, jnp.asarray(self.time, self.dtype),
-                            jnp.asarray(self.dt, self.dtype), sub,
-                            jnp.asarray(step, jnp.int32), self.laser_stream)
+        for _retry in range(16):
+            res = self._step_fn(self.binned,
+                                jnp.asarray(self.time, self.dtype),
+                                jnp.asarray(self.dt, self.dtype), sub,
+                                jnp.asarray(step, jnp.int32),
+                                self.laser_stream)
+            over = int(res["slip_overflow"]) if "slip_overflow" in res else 0
+            if over == 0:
+                break
+            # exact slipped-beam handling: grow the carry and re-run this
+            # step from the identical inputs (the step fn is functional —
+            # self.binned/time/dt/laser_stream are untouched until below)
+            self._grow_slip_cap(int(res["slip_need"]), step)
+        else:
+            raise RuntimeError(
+                f"step {step}: slip_cap growth did not converge "
+                f"(cap={self.cfg.slip_cap}, still {over} overflowing)")
         if self.cfg.use_laser:
             self.laser_stream = res["laser_stream"]
         if "banded_lost" in res:
@@ -693,14 +725,6 @@ class Simulation:
                 print(f"WARNING: step {step}: {lost} banded deposit "
                       "contributions dropped — increase hipace.banded_W "
                       "or decrease hipace.banded_K", file=sys.stderr)
-        if "slip_overflow" in res:
-            over = int(res["slip_overflow"])
-            if over > 0:
-                import sys
-                print(f"WARNING: step {step}: {over} slipped beam particles "
-                      "exceeded hipace.slip_cap and were emitted "
-                      "partially pushed — increase hipace.slip_cap",
-                      file=sys.stderr)
         if "spawn_lost" in res:
             lost = int(res["spawn_lost"])
             if lost > 0:
@@ -816,9 +840,22 @@ class Simulation:
             self.key, sub = jax.random.split(self.key)
             binned = {k: v for k, v in self.binned.items()
                       if k != "n_dropped"}
-            res = pp.pipelined_window(
-                self.cfg, self.dtype, binned, dts, times, step, sub,
-                devices=devices, laser_stream=self.laser_stream)
+            for _retry in range(16):
+                res = pp.pipelined_window(
+                    self.cfg, self.dtype, binned, dts, times, step, sub,
+                    devices=devices, laser_stream=self.laser_stream)
+                over = (int(np.sum(np.asarray(res["stage"]["slip_overflow"])))
+                        if "slip_overflow" in res["stage"] else 0)
+                if over == 0:
+                    break
+                # exact slipped-beam handling (same as run_step): grow the
+                # carry and re-run the whole window from identical inputs
+                need = int(np.max(np.asarray(res["stage"]["slip_need"])))
+                self._grow_slip_cap(need, step)
+            else:
+                raise RuntimeError(
+                    f"window at step {step}: slip_cap growth did not "
+                    f"converge (cap={self.cfg.slip_cap})")
 
             # ---- per-step diagnostics from the staged buffers
             for d in range(n_dev):
@@ -827,17 +864,12 @@ class Simulation:
                 if "diag_int" in res:
                     for name, v in res["diag_int"].items():
                         res_d["diag_int_" + name] = v[d]
-                for cnt, msg in (("banded_lost",
-                                  "banded deposit contributions dropped"),
-                                 ("slip_overflow",
-                                  "slipped beam particles exceeded "
-                                  "hipace.slip_cap")):
-                    if cnt in res_d:
-                        n_bad = int(np.sum(np.asarray(res_d[cnt])))
-                        if n_bad > 0:
-                            import sys as _sys
-                            print(f"WARNING: step {s}: {n_bad} {msg}",
-                                  file=_sys.stderr)
+                if "banded_lost" in res_d:
+                    n_bad = int(np.sum(np.asarray(res_d["banded_lost"])))
+                    if n_bad > 0:
+                        import sys as _sys
+                        print(f"WARNING: step {s}: {n_bad} banded deposit "
+                              "contributions dropped", file=_sys.stderr)
                 pre = (self.binned if d == 0
                        else {k: v[d] for k, v in res["beam"].items()})
                 saved_time, saved_dt = self.time, self.dt

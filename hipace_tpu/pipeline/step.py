@@ -676,8 +676,9 @@ def make_slice_step(cfg: SimConfig, dtype):
     if mr:
         # banded composes with MR: level-0 deposits/gathers use the MXU
         # kernels (the expensive grid); fine-patch deposits/gathers keep the
-        # XLA scatter path (small subsets, masked by tag)
-        assert not cfg.salame_active, "SALAME + MR not supported yet"
+        # XLA scatter path (small subsets, masked by tag). SALAME composes
+        # too: the weight iteration runs on level 0, then every fine level
+        # is solved with the final weights (see the SALAME block below).
         from ..fields.mr import LevelCoupler, in_level_bounds
         couplers, fine_solvers, fine_mgs = [], [], []
         parent_g = g
@@ -1076,6 +1077,47 @@ def make_slice_step(cfg: SimConfig, dtype):
             pc_err = jnp.zeros((), dtype)
             pc_iters = jnp.zeros((), jnp.int32)
 
+            # ---- SALAME beam loading (ref Hipace.cpp:673-678). Runs
+            # BEFORE the fine-level solves so every level's Bx/By is
+            # computed with the FINAL beam weights — the analogue of the
+            # reference's per-level STEP 4 recompute (ref Salame.cpp:160-185).
+            # The W averages sample level-0 Ez (the reference weights by
+            # each particle's finest level, Salame.cpp:122-131) — see
+            # PARITY.md.
+            if cfg.salame_active:
+                from .salame import salame_slice
+                from ..parser import compile_function
+                target_fn = compile_function(
+                    cfg.salame_target_expr,
+                    ("zeta", "zeta_initial", "Ez_initial"),
+                    cfg.salame_consts)
+                _salf = jnp.asarray([b.do_salame for b in cfg.beams], bool)
+                _salm = _salf[jnp.clip(xs["beam_this"]["beam_id"], 0,
+                                       len(cfg.beams) - 1)]
+                is_sal = (carry["step"] == 0) & jnp.any(
+                    xs["beam_this"]["valid"] & _salm)
+
+                def _do(args):
+                    this_, bt_, st_ = args
+                    return salame_slice(cfg, this_, f["Next"], f["Previous"],
+                                        plasmas, bt_, st_, islice, solver,
+                                        mg, dtype, target_fn)
+
+                def _skip(args):
+                    this_, bt_, st_ = args
+                    st_ = dict(st_, prev_was_salame=jnp.zeros((), bool))
+                    return this_, bt_, st_
+
+                extra_ys["salame_is_sal"] = is_sal
+                this, beam_this_upd, new_sal = jax.lax.cond(
+                    is_sal, _do, _skip,
+                    (this, xs["beam_this"], carry["salame"]))
+                xs = dict(xs, beam_this=beam_this_upd)
+                f = dict(f, This=this)
+                carry = dict(carry, salame=new_sal)
+                extra_ys["salame_W"] = new_sal["W_last"]
+                extra_ys["salame_dbg"] = new_sal["dbg"]
+
             # ---- MR: fine Bx/By (ref ExplicitMGSolveBxBy lev>0,
             # Hipace.cpp:793-933)
             if mr:
@@ -1096,6 +1138,21 @@ def make_slice_step(cfg: SimConfig, dtype):
                             cfg.normalized_units, extra_mask=bmask, geom0=g,
                             chunk=bchunk, n_active=cnt_next)
                     fl = dict(fl, **{"This": fl["This"]})
+                    if cfg.salame_active and cfg.beams:
+                        # redeposit This jz_beam with the (possibly
+                        # SALAME-updated) weights, the per-level STEP 4
+                        # redeposit of the reference (ref Salame.cpp:164-172)
+                        bmask_t = in_level_bounds(
+                            xs["beam_this"]["x"], xs["beam_this"]["y"],
+                            fg) & actives[i]
+                        fl_this = dict(fl["This"], jz_beam=jnp.zeros_like(
+                            fl["This"]["jz_beam"]))
+                        fl_this = bm.deposit_beam_slice(
+                            xs["beam_this"], {"jz": "jz_beam"}, fl_this, fg,
+                            cfg.beams, pc, order, cfg.normalized_units,
+                            extra_mask=bmask_t, geom0=g,
+                            chunk=bchunk, n_active=cnt_this)
+                        fl = dict(fl, This=fl_this)
                     tmp = _init_sx_sy_with_beam(
                         {"This": fl["This"], "Previous": fl["Previous"],
                          "Next": fl["Next"]}, cfg, fg)
@@ -1144,40 +1201,6 @@ def make_slice_step(cfg: SimConfig, dtype):
                     fl["This"] = fth
                     fine_f[i] = fl
 
-            # ---- SALAME beam loading (ref Hipace.cpp:673-678)
-            if cfg.salame_active:
-                from .salame import salame_slice, empty_salame_state
-                from ..parser import compile_function
-                target_fn = compile_function(
-                    cfg.salame_target_expr,
-                    ("zeta", "zeta_initial", "Ez_initial"),
-                    cfg.salame_consts)
-                _salf = jnp.asarray([b.do_salame for b in cfg.beams], bool)
-                _salm = _salf[jnp.clip(xs["beam_this"]["beam_id"], 0,
-                                       len(cfg.beams) - 1)]
-                is_sal = (carry["step"] == 0) & jnp.any(
-                    xs["beam_this"]["valid"] & _salm)
-
-                def _do(args):
-                    this_, bt_, st_ = args
-                    return salame_slice(cfg, this_, f["Next"], f["Previous"],
-                                        plasmas, bt_, st_, islice, solver,
-                                        mg, dtype, target_fn)
-
-                def _skip(args):
-                    this_, bt_, st_ = args
-                    st_ = dict(st_, prev_was_salame=jnp.zeros((), bool))
-                    return this_, bt_, st_
-
-                extra_ys["salame_is_sal"] = is_sal
-                this, beam_this_upd, new_sal = jax.lax.cond(
-                    is_sal, _do, _skip,
-                    (this, xs["beam_this"], carry["salame"]))
-                xs = dict(xs, beam_this=beam_this_upd)
-                f = dict(f, This=this)
-                carry = dict(carry, salame=new_sal)
-                extra_ys["salame_W"] = new_sal["W_last"]
-                extra_ys["salame_dbg"] = new_sal["dbg"]
         else:
             mrctx = ((mr, couplers, fine_solvers, fine_f, actives,
                       plasma_tags) if mr else None)
@@ -1316,11 +1339,13 @@ def make_slice_step(cfg: SimConfig, dtype):
             n_incomplete = jnp.sum(incomplete)
             n_slipped = jnp.minimum(n_incomplete, cfg.slip_cap)
             # overflow beyond slip_cap would be emitted with nsub>0 (a
-            # partially-pushed particle written as final) — count it so the
-            # driver can warn, like banded_lost (ref SliceSort.H:16-24 moves
-            # ALL slipped particles to Next)
+            # partially-pushed particle written as final) — count it, and
+            # report the per-slice capacity actually needed so the host
+            # driver can grow slip_cap and re-run the step EXACTLY
+            # (ref SliceSort.H:16-24 moves ALL slipped particles to Next)
             extra_ys["slip_overflow"] = (n_incomplete - n_slipped).astype(
                 jnp.int32)
+            extra_ys["slip_need"] = n_incomplete.astype(jnp.int32)
             emit = dict(reord)
             emit["valid"] = emit["valid"] & (
                 jnp.arange(emit["valid"].size) >= n_slipped)

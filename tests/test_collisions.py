@@ -80,3 +80,29 @@ def test_collisions_in_full_step():
     assert sim.cfg.collisions == (("pp", 0, 0, True, -1.0),)
     res = sim.run_step(0)
     assert np.isfinite(np.asarray(res["diag"])).all()
+
+
+def test_odd_cell_cyclic_reuse_collides_every_particle():
+    """Same-species cells with ODD particle counts: the reference runs
+    ceil(n/2) pairs with cyclic reuse, so EVERY particle in the cell
+    collides (ref ElasticCollisionPerez.H:146-188, CoulombCollision.cpp:122).
+    With 3 particles/cell, floor(n/2) pairing would leave 1/3 untouched."""
+    deck = DECK.replace("plasma.ppc = 4 4", "plasma.ppc = 3 1")
+    sim = Simulation(Inputs(deck), verbose=0)
+    p0 = sim._init_plasma_state(jax.random.PRNGKey(1), 0.0)[0]
+    cfgp = sim.plasma_cfgs[0]
+    p1, _ = coll.plasma_plasma_collision(
+        p0, p0, sim.geom, cfgp, cfgp, sim.pc, -1.0, 1e28, True,
+        jax.random.PRNGKey(3), True)
+    v = np.asarray(p0["valid"])
+    changed = (np.asarray(p1["ux"]) != np.asarray(p0["ux"]))[v]
+    # every particle is in at least one pair; kicks are continuous draws so
+    # an untouched ux means an unpaired particle
+    assert changed.mean() > 0.99, f"only {changed.mean():.2%} collided"
+    # pairwise elastic kicks (incl. the sequential wrap pair) conserve energy
+    def energy(pp):
+        vv = np.asarray(pp["valid"])
+        g = (1 + np.asarray(pp["ux"])[vv]**2 + np.asarray(pp["uy"])[vv]**2
+             + np.asarray(pp["psi"])[vv]**2) / (2*np.asarray(pp["psi"])[vv])
+        return np.sum(g - 1.0)
+    assert abs(energy(p1) - energy(p0)) / energy(p0) < 1e-6

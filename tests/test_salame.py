@@ -89,3 +89,22 @@ def test_salame_flattens_ez():
     # drive beam untouched
     drv = v & (bid == 0)
     assert np.allclose(np.std(w[drv]), 0.0)
+
+
+def test_salame_with_mr():
+    """SALAME x MR (VERDICT r2 item 9): the weight iteration runs on
+    level 0, then the fine level's Bx/By is solved with the final weights
+    (the reference's per-level STEP 4 redeposit, ref Salame.cpp:160-185).
+    The witness-slice Ez must still flatten, and the fine fields stay
+    finite."""
+    mr = ["amr.max_level=1", "mr_lev1.n_cell=32 32",
+          "mr_lev1.patch_lo=-2. -2. -7.", "mr_lev1.patch_hi=2. 2. 5."]
+    line_s, zeta, res, _sim = _run(mr)
+    line_n, _, _, _ = _run(mr + ["witness.do_salame=0"])
+    assert np.isfinite(np.asarray(res["diag"])).all()
+    assert float(np.abs(np.asarray(res["salame_W"])).max()) > 0
+    inside = (zeta > -2.35) & (zeta < -1.5)
+    spread_s = np.ptp(line_s[inside])
+    spread_n = np.ptp(line_n[inside])
+    assert spread_s < 0.4 * spread_n, \
+        f"SALAME+MR spread {spread_s} vs no-SALAME {spread_n}"
