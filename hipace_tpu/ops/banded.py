@@ -36,11 +36,81 @@ generation fuses into the one-hot build and never touches HBM.
 from __future__ import annotations
 
 from functools import partial
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 
 from .shape import shape_weights, shape_weights_derivative
+
+
+class BandedOpts(NamedTuple):
+    """Backend + tuning for the banded particle kernels, passed through
+    the deposit/gather call sites (plasma.py / step.py).
+
+    backend "xla": ops/banded.py one-hot scan kernels (W, K, WX).
+    backend "pallas": ops/pallas_banded.py VMEM-resident kernels
+    (W, S, WXS, h, precision); requires the stripe-snake sort with
+    stripe height h.
+    """
+    backend: str = "xla"
+    W: int = 32
+    K: int = 8192
+    WX: int = 0
+    S: int = 512
+    WXS: int = 256
+    h: int = 8
+    precision: str = "bf16x3"
+
+
+# ----------------------------------------------------------------------
+# backend dispatchers (value lists are stacked per-backend: channel-major
+# for pallas, channel-minor for the XLA one-hot kernels)
+# ----------------------------------------------------------------------
+def dispatch_deposit(fields, ym, xm, val_list, opts: BandedOpts, NY, NX,
+                     order, deriv_type=-1, ykind="w", xkind="w"):
+    """Deposit the per-particle value vectors into fields (C, NY, NX);
+    returns (fields, lost)."""
+    if opts.backend == "pallas":
+        from .pallas_banded import pallas_deposit
+        return pallas_deposit(fields, ym, xm, jnp.stack(val_list),
+                              NY, NX, order, W=opts.W, S=opts.S,
+                              WXS=opts.WXS, h=opts.h, deriv_type=deriv_type,
+                              ykind=ykind, xkind=xkind,
+                              precision=opts.precision)
+    return banded_deposit(fields, ym, xm, jnp.stack(val_list, axis=-1),
+                          NY, NX, order, W=min(opts.W, NY), K=opts.K,
+                          WX=opts.WX, deriv_type=deriv_type, ykind=ykind,
+                          xkind=xkind)
+
+
+def dispatch_deposit_multi(fields, ym, xm, val_list, ykinds,
+                           opts: BandedOpts, NY, NX, order, deriv_type):
+    """Multi-block deposit sharing one x weight matrix."""
+    if opts.backend == "pallas":
+        from .pallas_banded import pallas_deposit_multi
+        return pallas_deposit_multi(fields, ym, xm, jnp.stack(val_list),
+                                    ykinds, NY, NX, order, deriv_type,
+                                    W=opts.W, S=opts.S, WXS=opts.WXS,
+                                    h=opts.h, precision=opts.precision)
+    return banded_deposit_multi(fields, ym, xm,
+                                jnp.stack(val_list, axis=-1), ykinds,
+                                NY, NX, order, deriv_type,
+                                W=min(opts.W, NY), K=opts.K, WX=opts.WX)
+
+
+def dispatch_gather_main(field_list, ym, xm, opts: BandedOpts, NY, NX,
+                         order):
+    """Fused main-fields gather; field_list = [Psi, Ez, Bx, By, Bz]
+    slice arrays. Returns (exmby_raw, eypbx_raw, ez, bx, by, bz, lost)."""
+    if opts.backend == "pallas":
+        from .pallas_banded import pallas_gather_main
+        return pallas_gather_main(jnp.stack(field_list), ym, xm, NY, NX,
+                                  order, W=opts.W, S=opts.S, WXS=opts.WXS,
+                                  h=opts.h, precision=opts.precision)
+    return banded_gather_main(jnp.stack(field_list, axis=-1), ym, xm,
+                              NY, NX, order, W=min(opts.W, NY), K=opts.K,
+                              WX=opts.WX)
 
 
 def _taps(c, order, deriv_type):

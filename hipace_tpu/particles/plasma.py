@@ -596,8 +596,7 @@ def _banded_main_gather(xp, yp, valid, fields, geom, order, banded,
     """gather_main_fields via the banded MXU kernel (requires the caller to
     keep particles approximately row-sorted; see ops/banded.py). Invalid
     lanes read zeros."""
-    from ..ops.banded import banded_gather_main
-    W, K, WX = banded
+    from ..ops.banded import dispatch_gather_main
     G = geom.nguards
     NY, NX = geom.slice_shape
     dx_inv, dy_inv = 1.0 / geom.dx, 1.0 / geom.dy
@@ -605,10 +604,9 @@ def _banded_main_gather(xp, yp, valid, fields, geom, order, banded,
     # the in-kernel shape factors never see NaN (NaN * ok-mask = NaN)
     x = jnp.where(valid, (xp - geom.x_pos_offset) * dx_inv + G, 2.0 * NX)
     y = jnp.where(valid, (yp - geom.y_pos_offset) * dy_inv + G, 2.0 * NY)
-    stack = jnp.stack([fields["Psi"], fields["Ez"], fields["Bx"],
-                       fields["By"], fields["Bz"]], axis=-1)
-    exmby, eypbx, ez, bx, by, bz, lost = banded_gather_main(
-        stack, y, x, NY, NX, order, W=min(W, NY), K=K, WX=WX)
+    exmby, eypbx, ez, bx, by, bz, lost = dispatch_gather_main(
+        [fields["Psi"], fields["Ez"], fields["Bx"], fields["By"],
+         fields["Bz"]], y, x, banded, NY, NX, order)
     if lost_out is not None:
         lost_out.append(lost)
     return exmby * dx_inv, eypbx * dy_inv, ez, bx, by, bz
@@ -847,8 +845,7 @@ def deposit_plasma(p: dict, stack_comps: list[str], fields: dict,
 
     stack = jnp.stack([fields[c] for c in stack_comps])
     if banded is not None:
-        from ..ops.banded import banded_deposit
-        W, K, WX = banded
+        from ..ops.banded import dispatch_deposit
         G = geom.nguards
         NY, NX = geom.slice_shape
         # guard-offset cell positions; invalid lanes (sorted to the tail)
@@ -857,9 +854,9 @@ def deposit_plasma(p: dict, stack_comps: list[str], fields: dict,
                        (x - geom.x_pos_offset) / geom.dx + G, 2.0 * NX)
         ym = jnp.where(p["valid"],
                        (y - geom.y_pos_offset) / geom.dy + G, 2.0 * NY)
-        vstack = jnp.stack([_val(c) for c in stack_comps], axis=-1)
-        stack, _lost = banded_deposit(stack, ym, xm, vstack, NY, NX, order,
-                                      W=min(W, NY), K=K, WX=WX)
+        stack, _lost = dispatch_deposit(
+            stack, ym, xm, [_val(c) for c in stack_comps], banded,
+            NY, NX, order)
         if lost_out is not None:
             lost_out.append(_lost)
     else:
@@ -883,17 +880,17 @@ def fused_plasma_deposits(p: dict, stack_comps: list[str], fields: dict,
     """Main currents + explicit Sx/Sy coefficient channels in ONE banded
     deposit (banded fast path for deposit_plasma + explicit_deposition).
 
-    The (K, NX) one-hot matrix dominates a banded deposit's cost (HBM
-    traffic); the type-`deriv_type` derivative shape weights generate the
-    SAME one-hot as the plain order-p weights (their extra taps are zero),
-    so the main deposit, the Sy/Sx s-channels (d1) and the dwy-channels (d3)
+    The x weight matrix dominates a banded deposit's cost (HBM traffic for
+    the XLA one-hot kernels, VPU build + MXU flops for the Pallas ones);
+    the type-`deriv_type` derivative shape weights generate the SAME
+    matrix as the plain order-p weights (their extra taps are zero), so
+    the main deposit, the Sy/Sx s-channels (d1) and the dwy-channels (d3)
     all share one matrix. Only the dwx-channels (d2) need a second one.
 
     Returns (out_fields, new_p, dgrids) where dgrids = (d1, d2, d3) raw
     channel grids for combine_explicit_sxsy, called after the Psi/Ez solve.
     """
-    from ..ops.banded import banded_deposit, banded_deposit_multi
-    W, K, WX = banded
+    from ..ops.banded import dispatch_deposit, dispatch_deposit_multi
     charge = cfg.charge
     clight = pc.c
     cin = 1.0 / pc.c
@@ -957,14 +954,13 @@ def fused_plasma_deposits(p: dict, stack_comps: list[str], fields: dict,
     C1 = len(chans)
     cdc = cd_mu0 * clight
     dx_inv, dy_inv = 1.0 / geom.dx, 1.0 / geom.dy
-    v2 = jnp.stack([cdc * dx_inv * vx * vy,
-                    cdc * dx_inv * (gamma_psi - vx * vx - 1.0)], axis=-1)
-    v3 = jnp.stack([-cdc * dy_inv * (gamma_psi - vy * vy - 1.0),
-                    -cdc * dy_inv * vx * vy], axis=-1)
+    v2 = [cdc * dx_inv * vx * vy,
+          cdc * dx_inv * (gamma_psi - vx * vx - 1.0)]
+    v3 = [-cdc * dy_inv * (gamma_psi - vy * vy - 1.0),
+          -cdc * dy_inv * vx * vy]
 
     G = geom.nguards
     NY, NX = geom.slice_shape
-    Wc = min(W, NY)
     # guard-offset cell positions; invalid lanes get a finite sentinel
     xm = jnp.where(p["valid"],
                    (x - geom.x_pos_offset) * dx_inv + G, 2.0 * NX)
@@ -977,31 +973,28 @@ def fused_plasma_deposits(p: dict, stack_comps: list[str], fields: dict,
         # one-hot: dWx[:, i] = (Wx[:, i+1] - Wx[:, i-1]) / 2, so the dwx/dwy
         # channels deposit with PLAIN weights and the derivative becomes a
         # grid difference in combine_explicit_sxsy — one matrix for all.
-        vall = jnp.stack([_val(c) for c in stack_comps] + chans
-                         + [v2[:, 0], v2[:, 1], v3[:, 0], v3[:, 1]],
-                         axis=-1)
+        vall = [_val(c) for c in stack_comps] + chans + v2 + v3
         acc = jnp.concatenate([
             jnp.stack([fields[c] for c in stack_comps]),
             jnp.zeros((C1 + 4, NY, NX), x.dtype)])
-        acc, lost = banded_deposit(acc, ym, xm, vall, NY, NX, order,
-                                   W=Wc, K=K, WX=WX, deriv_type=2)
+        acc, lost = dispatch_deposit(acc, ym, xm, vall, banded, NY, NX,
+                                     order, deriv_type=2)
         if lost_out is not None:
             lost_out.append(lost)
         dgrids = (acc[Cm:Cm + C1], acc[Cm + C1:Cm + C1 + 2],
                   acc[Cm + C1 + 2:], True)
     else:
-        vmain = jnp.stack([_val(c) for c in stack_comps] + chans, axis=-1)
+        vmain = [_val(c) for c in stack_comps] + chans
         acc = jnp.concatenate([
             jnp.stack([fields[c] for c in stack_comps]),
             jnp.zeros((C1 + 2, NY, NX), x.dtype)])
-        acc, lost1 = banded_deposit_multi(
-            acc, ym, xm, jnp.concatenate([vmain, v3], axis=1),
-            (("w", Cm + C1), ("dw", 2)), NY, NX, order, deriv_type,
-            W=Wc, K=K, WX=WX)
+        acc, lost1 = dispatch_deposit_multi(
+            acc, ym, xm, vmain + v3, (("w", Cm + C1), ("dw", 2)), banded,
+            NY, NX, order, deriv_type)
         d2 = jnp.zeros((2, NY, NX), x.dtype)
-        d2, lost2 = banded_deposit(d2, ym, xm, v2, NY, NX, order,
-                                   W=Wc, K=K, WX=WX, deriv_type=deriv_type,
-                                   ykind="w", xkind="dw")
+        d2, lost2 = dispatch_deposit(d2, ym, xm, v2, banded, NY, NX, order,
+                                     deriv_type=deriv_type, ykind="w",
+                                     xkind="dw")
         if lost_out is not None:
             lost_out.append(lost1 + lost2)
         dgrids = (acc[Cm:Cm + C1], d2, acc[Cm + C1:], False)
@@ -1113,9 +1106,7 @@ def explicit_deposition(p: dict, fields: dict, geom: Geometry,
     m = order + deriv_type + 1
 
     if banded is not None:
-        from ..ops.banded import banded_deposit
-        W, K, WX = banded
-        Wc = min(W, NY)
+        from ..ops.banded import dispatch_deposit
         # guard-offset cell positions with a finite sentinel for invalid
         # lanes; the kernels compute the shape factors in-body
         xmb = jnp.where(p["valid"], xm + G, 2.0 * NX)
@@ -1137,27 +1128,24 @@ def explicit_deposition(p: dict, fields: dict, geom: Geometry,
             chans.append(0.25 * base * qm_psi)   # u6
         C1 = len(chans)
         d1 = jnp.zeros((C1, NY, NX), x.dtype)
-        d1, _lost1 = banded_deposit(d1, ymb, xmb,
-                                    jnp.stack(chans, axis=-1), NY, NX,
-                                    order, W=Wc, K=K, WX=WX,
-                                    deriv_type=deriv_type)
+        d1, _lost1 = dispatch_deposit(d1, ymb, xmb, chans, banded, NY, NX,
+                                      order, deriv_type=deriv_type)
         if lost_out is not None:
             lost_out.append(_lost1)
         # derivative-weighted channels deposit straight into Sy/Sx
         cdc = cd_mu0 * clight
-        v2 = jnp.stack([cdc * dx_inv * vx * vy,
-                        cdc * dx_inv * (gamma_psi - vx * vx - 1.0)],
-                       axis=-1)
+        v2 = [cdc * dx_inv * vx * vy,
+              cdc * dx_inv * (gamma_psi - vx * vx - 1.0)]
         d2 = jnp.zeros((2, NY, NX), x.dtype)
-        d2, _ = banded_deposit(d2, ymb, xmb, v2, NY, NX, order,
-                               W=Wc, K=K, WX=WX, deriv_type=deriv_type,
-                               ykind="w", xkind="dw")
-        v3 = jnp.stack([-cdc * dy_inv * (gamma_psi - vy * vy - 1.0),
-                        -cdc * dy_inv * vx * vy], axis=-1)
+        d2, _ = dispatch_deposit(d2, ymb, xmb, v2, banded, NY, NX, order,
+                                 deriv_type=deriv_type, ykind="w",
+                                 xkind="dw")
+        v3 = [-cdc * dy_inv * (gamma_psi - vy * vy - 1.0),
+              -cdc * dy_inv * vx * vy]
         d3 = jnp.zeros((2, NY, NX), x.dtype)
-        d3, _ = banded_deposit(d3, ymb, xmb, v3, NY, NX, order,
-                               W=Wc, K=K, WX=WX, deriv_type=deriv_type,
-                               ykind="dw", xkind="w")
+        d3, _ = dispatch_deposit(d3, ymb, xmb, v3, banded, NY, NX, order,
+                                 deriv_type=deriv_type, ykind="dw",
+                                 xkind="w")
         bz_f, ez_f = fields["Bz"], fields["Ez"]
         exmby_f, eypbx_f = fields["ExmBy"], fields["EypBx"]
         cinc = jnp.asarray(cin, x.dtype)

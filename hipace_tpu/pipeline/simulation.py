@@ -210,6 +210,16 @@ class Simulation:
             banded_gather_K=inputs.query("hipace.banded_gather_K",
                                          self._banded_auto_k(inputs), int),
             banded_WX=inputs.query("hipace.banded_WX", 0, int),
+            banded_backend=inputs.query("hipace.banded_backend",
+                                        SimConfig.banded_backend, str),
+            pallas_S=inputs.query("hipace.pallas_S", SimConfig.pallas_S,
+                                  int),
+            pallas_WXS=inputs.query("hipace.pallas_WXS",
+                                    SimConfig.pallas_WXS, int),
+            pallas_h=inputs.query("hipace.pallas_h", SimConfig.pallas_h,
+                                  int),
+            pallas_precision=inputs.query("hipace.pallas_precision",
+                                          SimConfig.pallas_precision, str),
             slip_cap=inputs.query("hipace.slip_cap", 64, int),
             beam_chunk=inputs.query("hipace.beam_chunk", 0, int),
             # ref plasmas.reorder_period (PlasmaParticleContainer sorting

@@ -214,6 +214,19 @@ class SimConfig:
     # re-sort every N slices (drift between sorts consumes banded_W slack;
     # the lost counters catch a too-small W / too-large period)
     banded_sort_period: int = 1
+    # kernel backend for the banded deposits/gathers: "pallas" = real TPU
+    # kernels with VMEM-resident fields (ops/pallas_banded.py; one-hots
+    # never touch HBM — measured 2-4x the XLA kernels on v5e), "xla" =
+    # the one-hot scan kernels (ops/banded.py; any backend, fp64-exact).
+    # "auto" resolves to pallas on TPU, xla elsewhere (Simulation init).
+    banded_backend: str = "auto"
+    # pallas kernel tuning: sub-chunk size, x-window width (128-aligned
+    # dynamic lane offsets), sort stripe height (W >= 2h + taps + 7),
+    # MXU f32 mode ("bf16x3" ~2e-6 rel | "highest" 6-pass | "bf16")
+    pallas_S: int = 512
+    pallas_WXS: int = 256
+    pallas_h: int = 8
+    pallas_precision: str = "bf16x3"
     # beam lanes processed per while_loop chunk: per-slice cost scales with
     # occupancy instead of the peak-sized capacity (~6x waste for a
     # gaussian beam). 0 = whole-capacity processing — the DEFAULT, because
@@ -479,10 +492,8 @@ def _pc_bxby_solve(f, plasmas, beam_next, cfg: SimConfig, solver, ob=None,
         fnxt = [{"jx": jnp.zeros(mr[i].geom.slice_shape, jz.dtype),
                  "jy": jnp.zeros(mr[i].geom.slice_shape, jz.dtype)}
                 for i in range(len(mr))]
-        banded = ((cfg.banded_W, cfg.banded_K, cfg.banded_WX)
-                  if cfg.use_banded else None)
-        banded_g = ((cfg.banded_W, cfg.banded_gather_K, cfg.banded_WX)
-                    if cfg.use_banded else None)
+        banded = _banded_opts(cfg)
+        banded_g = _banded_opts(cfg, gather=True)
         for ip, (p, pcfg) in enumerate(zip(plasmas, cfg.plasmas)):
             if mr:
                 p_tmp = pl.advance_plasma(
@@ -661,15 +672,28 @@ def make_poisson_solver(name: str, g: Geometry, dtype):
     raise ValueError(f"unknown fields.poisson_solver {name}")
 
 
+def _banded_opts(cfg: SimConfig, gather: bool = False):
+    """BandedOpts for the deposit (or gather) kernels, or None when the
+    banded path is off. "auto" backend resolves to pallas on TPU."""
+    if not cfg.use_banded:
+        return None
+    backend = cfg.banded_backend
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    from ..ops.banded import BandedOpts
+    return BandedOpts(backend=backend, W=cfg.banded_W,
+                      K=cfg.banded_gather_K if gather else cfg.banded_K,
+                      WX=cfg.banded_WX, S=cfg.pallas_S, WXS=cfg.pallas_WXS,
+                      h=cfg.pallas_h, precision=cfg.pallas_precision)
+
+
 def make_slice_step(cfg: SimConfig, dtype):
     """Build the per-slice function used by lax.scan."""
     g = cfg.geom
     pc = cfg.pc
     order = cfg.depos_order_xy
-    banded = ((cfg.banded_W, cfg.banded_K, cfg.banded_WX)
-              if cfg.use_banded else None)
-    banded_gather = ((cfg.banded_W, cfg.banded_gather_K, cfg.banded_WX)
-                     if cfg.use_banded else None)
+    banded = _banded_opts(cfg)
+    banded_gather = _banded_opts(cfg, gather=True)
     solver = make_poisson_solver(cfg.poisson_solver, g, dtype)
     mg = MultiGrid(g.nx, g.ny, g.dx, g.dy, dtype) if cfg.explicit else None
     mr = cfg.mr_levels
@@ -754,10 +778,15 @@ def make_slice_step(cfg: SimConfig, dtype):
         # ---- row-sort plasma for the banded MXU kernels (before MR tags:
         # plasma_tags index into the sorted arrays)
         if cfg.use_banded:
-            # stripe-snake key when 2D windows are active: stripes of
-            # (W-8)//2 rows keep any K-chunk within 2 stripes + taps <= W
-            stripe_h = (max(1, (cfg.banded_W - 8) // 2)
-                        if cfg.banded_WX < g.slice_shape[1] else 0)
+            # stripe-snake key: pallas windows REQUIRE stripes of
+            # pallas_h rows (sub-chunk spans <= 2 stripes + taps + 8-align
+            # slack <= W); the XLA kernels use them only when 2D windows
+            # are active ((W-8)//2 rows keep a K-chunk within W)
+            if banded is not None and banded.backend == "pallas":
+                stripe_h = cfg.pallas_h
+            else:
+                stripe_h = (max(1, (cfg.banded_W - 8) // 2)
+                            if cfg.banded_WX < g.slice_shape[1] else 0)
             if cfg.banded_sort_period > 1:
                 do_sort = (islice % cfg.banded_sort_period) == 0
                 plasmas = [jax.lax.cond(do_sort,

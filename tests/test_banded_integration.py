@@ -37,17 +37,18 @@ hipace.random_seed = 7
 """
 
 
-def _run(banded: bool):
+def _run(banded: bool, backend: str = "xla"):
     inputs = Inputs(DECK, overrides=[f"hipace.use_banded={int(banded)}",
-                                     "hipace.banded_W=4096",
-                                     "hipace.banded_K=1024"])
+                                     "hipace.banded_W=4096"
+                                     if backend == "xla"
+                                     else "hipace.banded_W=32",
+                                     "hipace.banded_K=1024",
+                                     f"hipace.banded_backend={backend}"])
     sim = Simulation(inputs)
     return sim.run_step(0)
 
 
-def test_banded_path_matches_scatter():
-    ref = _run(False)
-    ban = _run(True)
+def _compare(ref, ban):
     dref = np.asarray(ref["diag"])
     dban = np.asarray(ban["diag"])
     scale = np.max(np.abs(dref)) + 1e-30
@@ -61,3 +62,13 @@ def test_banded_path_matches_scatter():
         b = np.asarray(ban["binned"][k]) * vr
         s = np.max(np.abs(a)) + 1e-30
         assert np.max(np.abs(a - b)) / s < 1e-10, k
+
+
+def test_banded_path_matches_scatter():
+    _compare(_run(False), _run(True))
+
+
+def test_pallas_backend_matches_scatter():
+    """Full end-to-end step with the Pallas kernel backend (interpret mode
+    on CPU, fp64) against the XLA scatter path."""
+    _compare(_run(False), _run(True, backend="pallas"))

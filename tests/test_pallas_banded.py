@@ -1,0 +1,197 @@
+"""Pallas deposit/gather kernels vs the XLA banded + exact references.
+
+Runs in Pallas interpret mode on the CPU test mesh (fp64), pinning exact
+agreement with the elementwise scatter/gather — including out-of-window
+lanes (corrective pass), invalid-lane sentinels, derivative shape factors,
+and the multi-block deposit.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hipace_tpu.ops.banded import (banded_deposit, banded_deposit_multi,
+                                   banded_gather_main)
+from hipace_tpu.ops.pallas_banded import (pallas_deposit,
+                                          pallas_deposit_multi,
+                                          pallas_gather_main)
+from hipace_tpu.ops.shape import shape_weights, shape_weights_derivative
+
+
+def _make_particles(key, N, NY, NX, h, n_invalid=0, clump=False):
+    """Stripe-snake sorted particle positions on an (NY, NX) padded grid
+    (guard G=3 margins)."""
+    kx, ky = jax.random.split(jax.random.PRNGKey(key))
+    G = 3
+    if clump:
+        # extreme density gradient: half the particles in a thin column
+        # (forces x-window overflow -> corrective pass)
+        x1 = jax.random.uniform(kx, (N // 2,), jnp.float64, G, NX - G - 1.0)
+        x2 = jax.random.uniform(ky, (N - N // 2,), jnp.float64, G, G + 2.0)
+        x = jnp.concatenate([x1, x2])
+        y = jax.random.uniform(jax.random.fold_in(ky, 1), (N,), jnp.float64,
+                               G, NY - G - 1.0)
+    else:
+        x = jax.random.uniform(kx, (N,), jnp.float64, G, NX - G - 1.0)
+        y = jax.random.uniform(ky, (N,), jnp.float64, G, NY - G - 1.0)
+    valid = jnp.arange(N) < (N - n_invalid)
+    x = jnp.where(valid, x, 2.0 * NX)
+    y = jnp.where(valid, y, 2.0 * NY)
+    # stripe-snake sort (mirrors pipeline/step.py _row_sort)
+    col = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, NX)
+    row = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, NY)
+    stripe = jnp.where(valid, row // h, NY)
+    colkey = jnp.where(stripe % 2 == 0, col, NX - col)
+    keyv = stripe * (NX + 2) + colkey
+    _, x, y = jax.lax.sort([keyv, x, y], num_keys=1)
+    return y, x
+
+
+def _exact_deposit(ym, xm, vals_nc, NY, NX, order, deriv_type=-1,
+                   ykind="w", xkind="w"):
+    """Elementwise scatter reference."""
+    C = vals_nc.shape[1]
+    if deriv_type < 0:
+        iy0, wy = shape_weights(ym, order)
+        ix0, wx = shape_weights(xm, order)
+        dwy, dwx = wy, wx
+    else:
+        iy0, wy, dwy = shape_weights_derivative(ym, order, deriv_type)
+        ix0, wx, dwx = shape_weights_derivative(xm, order, deriv_type)
+    cy = wy if ykind == "w" else dwy
+    cx = wx if xkind == "w" else dwx
+    m = cy.shape[1]
+    live = (iy0 < NY).astype(vals_nc.dtype)
+    out = jnp.zeros((C, NY, NX), vals_nc.dtype)
+    for a in range(m):
+        for b in range(m):
+            w = cy[:, a] * cx[:, b] * live
+            jy = jnp.clip(iy0 + a, 0, NY - 1)
+            jx = jnp.clip(ix0 + b, 0, NX - 1)
+            out = out.at[:, jy, jx].add(w * vals_nc.T)
+    return out
+
+
+@pytest.mark.parametrize("order", [0, 1, 2, 3])
+def test_pallas_deposit_matches_exact(order):
+    NY, NX = 70, 70
+    N, h = 4096, 8
+    ym, xm = _make_particles(3, N, NY, NX, h, n_invalid=100)
+    vals_cn = jnp.stack([jnp.ones(N, jnp.float64), xm * 0.01, ym * 0.02])
+    F0 = jnp.zeros((3, NY, NX), jnp.float64)
+    got, lost = pallas_deposit(F0, ym, xm, vals_cn, NY, NX, order,
+                               interpret=True)
+    ref = _exact_deposit(ym, xm, vals_cn.T, NY, NX, order)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-12, atol=1e-12)
+    assert int(lost) == 0
+
+
+@pytest.mark.parametrize("deriv_type,ykind,xkind", [
+    (0, "w", "dw"), (1, "dw", "w"), (2, "w", "dw"), (2, "dw", "w")])
+def test_pallas_deposit_derivative_factors(deriv_type, ykind, xkind):
+    NY, NX = 70, 70
+    N, h, order = 2048, 8, 2
+    ym, xm = _make_particles(5, N, NY, NX, h, n_invalid=32)
+    vals_cn = jnp.stack([jnp.sin(xm), jnp.cos(ym)])
+    F0 = jnp.zeros((2, NY, NX), jnp.float64)
+    got, _ = pallas_deposit(F0, ym, xm, vals_cn, NY, NX, order,
+                            deriv_type=deriv_type, ykind=ykind,
+                            xkind=xkind, interpret=True)
+    ref = _exact_deposit(ym, xm, vals_cn.T, NY, NX, order, deriv_type,
+                         ykind, xkind)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-12, atol=1e-12)
+
+
+def test_pallas_deposit_corrective_pass_clumped():
+    """Extreme density gradient: many lanes overflow the x window; the
+    corrective pass must still make the result exact."""
+    NY, NX = 134, 134
+    N, h, order = 8192, 8, 2
+    ym, xm = _make_particles(7, N, NY, NX, h, clump=True)
+    vals_cn = jnp.stack([jnp.ones(N, jnp.float64), xm + ym])
+    F0 = jnp.zeros((2, NY, NX), jnp.float64)
+    # force small windows so overflow happens even on this small grid
+    got, _ = pallas_deposit(F0, ym, xm, vals_cn, NY, NX, order,
+                            W=32, WXS=64, S=256, interpret=True)
+    ref = _exact_deposit(ym, xm, vals_cn.T, NY, NX, order)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-12, atol=1e-12)
+    # sanity: the clump really does overflow some sub-chunk x windows
+    # (exercising the in-kernel full-row fallback)
+    from hipace_tpu.ops.pallas_banded import (_anchors_wide, _i0,
+                                              _pad_shape)
+    NYP, NXP = _pad_shape(NY, NX)
+    S, WXS = 256, min(64, NXP)
+    ay, ax, _yw = _anchors_wide(ym, xm, NYP, NXP, order, -1, 32, WXS, S)
+    relx = _i0(xm.reshape(-1, S), order, -1) - ax[:, None]
+    live = ym.reshape(-1, S) < 1.5 * NYP
+    assert int(jnp.sum(live & ((relx < 0) | (relx + 3 > WXS)))) > 0
+
+
+def test_pallas_deposit_multi_matches_banded():
+    NY, NX = 70, 70
+    N, h, order, dt = 4096, 8, 2, 1
+    ym, xm = _make_particles(11, N, NY, NX, h, n_invalid=64)
+    C1, C2 = 3, 2
+    vals_cn = jnp.stack([jnp.ones(N, jnp.float64), xm, ym,
+                         xm * ym, xm - ym])
+    ykinds = (("w", C1), ("dw", C2))
+    F0 = jnp.zeros((C1 + C2, NY, NX), jnp.float64)
+    got, _ = pallas_deposit_multi(F0, ym, xm, vals_cn, ykinds, NY, NX,
+                                  order, dt, interpret=True)
+    ref1 = _exact_deposit(ym, xm, vals_cn[:C1].T, NY, NX, order, dt,
+                          "w", "w")
+    ref2 = _exact_deposit(ym, xm, vals_cn[C1:].T, NY, NX, order, dt,
+                          "dw", "w")
+    ref = jnp.concatenate([ref1, ref2])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-12, atol=1e-12)
+
+
+def test_pallas_gather_main_matches_banded():
+    NY, NX = 70, 70
+    N, h, order = 4096, 8, 2
+    ym, xm = _make_particles(13, N, NY, NX, h, n_invalid=128)
+    key = jax.random.PRNGKey(17)
+    stack_cm = jax.random.normal(key, (5, NY, NX), jnp.float64)
+    got = pallas_gather_main(stack_cm, ym, xm, NY, NX, order,
+                             interpret=True)
+    stack_lm = jnp.moveaxis(stack_cm, 0, -1)
+    ref = banded_gather_main(stack_lm, ym, xm, NY, NX, order,
+                             W=32, K=512)
+    for g, r in zip(got[:6], ref[:6]):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=1e-10, atol=1e-12)
+
+
+def test_pallas_gather_main_corrective_clumped():
+    NY, NX = 134, 134
+    N, h, order = 8192, 8, 2
+    ym, xm = _make_particles(19, N, NY, NX, h, clump=True)
+    key = jax.random.PRNGKey(23)
+    stack_cm = jax.random.normal(key, (5, NY, NX), jnp.float64)
+    got = pallas_gather_main(stack_cm, ym, xm, NY, NX, order,
+                             W=32, WXS=64, S=256, interpret=True)
+    stack_lm = jnp.moveaxis(stack_cm, 0, -1)
+    ref = banded_gather_main(stack_lm, ym, xm, NY, NX, order,
+                             W=64, K=512)
+    for g, r in zip(got[:6], ref[:6]):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=1e-10, atol=1e-12)
+
+
+def test_pallas_deposit_unpadded_n():
+    """N not a multiple of S: wrapper pads with sentinels."""
+    NY, NX = 70, 70
+    N, h, order = 3000, 8, 2
+    ym, xm = _make_particles(29, N, NY, NX, h)
+    vals_cn = jnp.stack([jnp.ones(N, jnp.float64)])
+    F0 = jnp.zeros((1, NY, NX), jnp.float64)
+    got, _ = pallas_deposit(F0, ym, xm, vals_cn, NY, NX, order,
+                            interpret=True)
+    ref = _exact_deposit(ym, xm, vals_cn.T, NY, NX, order)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-12, atol=1e-12)
