@@ -99,6 +99,57 @@ def dispatch_deposit_multi(fields, ym, xm, val_list, ykinds,
                                 W=min(opts.W, NY), K=opts.K, WX=opts.WX)
 
 
+def dispatch_deposit_blocks(fields, ym, xm, val_list, blocks,
+                            opts: BandedOpts, NY, NX, order, deriv_type):
+    """Deposit channel blocks with per-block (ykind, xkind) weights.
+    On the pallas backend this is ONE fused kernel pass over the particle
+    positions; the XLA backend decomposes into a shared-x multi deposit
+    (xkind "w" blocks) plus one deposit per remaining block."""
+    if opts.backend == "pallas":
+        from .pallas_banded import pallas_deposit_blocks
+        return pallas_deposit_blocks(fields, ym, xm, jnp.stack(val_list),
+                                     blocks, NY, NX, order, deriv_type,
+                                     W=opts.W, S=opts.S, WXS=opts.WXS,
+                                     h=opts.h, precision=opts.precision)
+    lost = jnp.zeros((), jnp.int32)
+    # group the xkind=="w" blocks into one shared-x multi deposit
+    wk = [(i, yk, ci) for i, (yk, xk, ci) in enumerate(blocks)
+          if xk == "w"]
+    offs = []
+    off = 0
+    for yk, xk, ci in blocks:
+        offs.append(off)
+        off += ci
+    out = fields
+    if wk:
+        idx = []
+        for i, yk, ci in wk:
+            idx.extend(range(offs[i], offs[i] + ci))
+        sub = jnp.stack([val_list[j] for j in idx], axis=-1)
+        subf = out[jnp.asarray(idx)] if len(idx) != len(val_list) \
+            else out
+        subf, lost1 = banded_deposit_multi(
+            subf, ym, xm, sub, tuple((yk, ci) for _, yk, ci in wk),
+            NY, NX, order, deriv_type, W=min(opts.W, NY), K=opts.K,
+            WX=opts.WX)
+        lost = lost + lost1
+        if len(idx) != len(val_list):
+            out = out.at[jnp.asarray(idx)].set(subf)
+        else:
+            out = subf
+    for i, (yk, xk, ci) in enumerate(blocks):
+        if xk == "w":
+            continue
+        sub = jnp.stack(val_list[offs[i]:offs[i] + ci], axis=-1)
+        subf, lost1 = banded_deposit(
+            out[offs[i]:offs[i] + ci], ym, xm, sub, NY, NX, order,
+            W=min(opts.W, NY), K=opts.K, WX=opts.WX,
+            deriv_type=deriv_type, ykind=yk, xkind=xk)
+        lost = lost + lost1
+        out = out.at[offs[i]:offs[i] + ci].set(subf)
+    return out, lost
+
+
 def dispatch_gather_main(field_list, ym, xm, opts: BandedOpts, NY, NX,
                          order):
     """Fused main-fields gather; field_list = [Psi, Ez, Bx, By, Bz]

@@ -225,9 +225,12 @@ def _roll_lanes(arr, shift, interpret):
 # deposit
 # ----------------------------------------------------------------------
 def _deposit_kernel(ay_ref, ax_ref, ym_ref, xm_ref, *refs,
-                    ykinds, order, deriv_type, xkind, W, WXS, S,
+                    blocks, order, deriv_type, W, WXS, S,
                     NYP, NXP, precision, interpret):
-    C = sum(ci for _, ci in ykinds)
+    """blocks: static tuple of (ykind, xkind, ci) channel blocks sharing
+    the particle positions. One dot per distinct xkind; channels land in
+    block order."""
+    C = sum(ci for _, _, ci in blocks)
     val_refs = refs[:C]
     out_ref = refs[C]
     i = pl.program_id(0)
@@ -250,39 +253,54 @@ def _deposit_kernel(ay_ref, ax_ref, ym_ref, xm_ref, *refs,
     okx = (relx >= 0) & (relx + m <= WXS)
 
     rows = jax.lax.broadcasted_iota(jnp.int32, (W, S), 0)
+    xkinds = tuple(dict.fromkeys(xk for _, xk, _ in blocks))
 
-    def build_a(lane_mask):
-        """(C*W, S) folded y-weight/value operand, masked per lane."""
+    def contrib_for(lane_mask, xbase, width):
+        """(C, W, width) contribution: one dot per distinct xkind,
+        reassembled in block channel order."""
         mf = lane_mask.astype(ym.dtype)
-        blocks = []
+        cols = jax.lax.broadcasted_iota(jnp.int32, (width, S), 0)
+        wyts = {}
+        parts = {}
         c0 = 0
-        for kind, ci in ykinds:
-            wyt = _wmat(ym, rows, ay, order, deriv_type, kind) * mf
-            for c in range(c0, c0 + ci):
-                blocks.append(wyt * val_refs[c][0])
+        for yk, xk, ci in blocks:
+            if yk not in wyts:
+                wyts[yk] = _wmat(ym, rows, ay, order, deriv_type, yk) * mf
+            parts.setdefault(xk, []).append(
+                (c0, [wyts[yk] * val_refs[c][0]
+                      for c in range(c0, c0 + ci)]))
             c0 += ci
-        return jnp.concatenate(blocks, axis=0)
+        pieces = [None] * len(blocks)
+        for xk in xkinds:
+            wxt = _wmat(xm, cols, xbase, order, deriv_type, xk)
+            A = jnp.concatenate(sum((rows_ for _, rows_ in parts[xk]),
+                                    []), axis=0)
+            out = _dot_nt(A, wxt, precision)          # (Cg*W, width)
+            r0 = 0
+            for bi, (yk2, xk2, ci) in enumerate(blocks):
+                if xk2 != xk:
+                    continue
+                pieces[bi] = out[r0:r0 + ci * W].reshape(ci, W, width)
+                r0 += ci * W
+        return jnp.concatenate(pieces, axis=0)        # (C, W, width)
 
     ayd = pl.multiple_of(ay, 8)
     full_row = WXS >= NXP
     if full_row:
         # narrow grids: one full-width window, no roll, no fallback
-        cols = jax.lax.broadcasted_iota(jnp.int32, (NXP, S), 0)
-        wxt = _wmat(xm, cols, 0, order, deriv_type, xkind)
-        contrib = _dot_nt(build_a(oky), wxt, precision)
+        contrib = contrib_for(oky, 0, NXP)
         cur = out_ref[:, pl.ds(ayd, W), :]
-        out_ref[:, pl.ds(ayd, W), :] = cur + contrib.reshape(C, W, NXP)
+        out_ref[:, pl.ds(ayd, W), :] = cur + contrib
         return
 
-    cols = jax.lax.broadcasted_iota(jnp.int32, (WXS, S), 0)
-    wxt = _wmat(xm, cols, ax, order, deriv_type, xkind)    # (WXS, S)
-    contrib = _dot_nt(build_a(oky & okx), wxt, precision)  # (C*W, WXS)
+    contrib = contrib_for(oky & okx, ax, WXS)         # (C, W, WXS)
     # roll trick: rotate the narrow unaligned window into the 128-aligned
     # store window [axd, axd + WXS + 128)
     axd = pl.multiple_of((ax // 128) * 128, 128)
-    shift = ax - axd                                       # in [0, 128)
+    shift = ax - axd                                  # in [0, 128)
     padded = jnp.concatenate(
-        [contrib, jnp.zeros((C * W, 128), contrib.dtype)], axis=1)
+        [contrib.reshape(C * W, WXS),
+         jnp.zeros((C * W, 128), contrib.dtype)], axis=1)
     placed = _roll_lanes(padded, shift, interpret).reshape(C, W, WXS + 128)
     cur = out_ref[:, pl.ds(ayd, W), pl.ds(axd, WXS + 128)]
     out_ref[:, pl.ds(ayd, W), pl.ds(axd, WXS + 128)] = cur + placed
@@ -295,15 +313,13 @@ def _deposit_kernel(ay_ref, ax_ref, ym_ref, xm_ref, *refs,
 
     @pl.when(jnp.any(misx))
     def _():
-        colsf = jax.lax.broadcasted_iota(jnp.int32, (NXP, S), 0)
-        wxt_f = _wmat(xm, colsf, 0, order, deriv_type, xkind)
-        c2 = _dot_nt(build_a(misx), wxt_f, precision)
+        c2 = contrib_for(misx, 0, NXP)
         cur = out_ref[:, pl.ds(ayd, W), :]
-        out_ref[:, pl.ds(ayd, W), :] = cur + c2.reshape(C, W, NXP)
+        out_ref[:, pl.ds(ayd, W), :] = cur + c2
 
 
-def _deposit_delta(ym, xm, val_list, NY, NX, order, deriv_type, ykinds,
-                   xkind, W, WXS, S, h, precision, interpret, anchors):
+def _deposit_delta(ym, xm, val_list, NY, NX, order, deriv_type, blocks,
+                   W, WXS, S, h, precision, interpret, anchors):
     """Raw kernel call: deposit the per-channel value rows -> delta grid
     (C, NY, NX). y-overflow lanes excluded (wrapper corrective pass)."""
     C = len(val_list)
@@ -326,8 +342,8 @@ def _deposit_delta(ym, xm, val_list, NY, NX, order, deriv_type, ykinds,
     )
     interp = _interp_default(interpret)
     kern = functools.partial(
-        _deposit_kernel, ykinds=ykinds, order=order, deriv_type=deriv_type,
-        xkind=xkind, W=W, WXS=WXS, S=S, NYP=NYP, NXP=NXP,
+        _deposit_kernel, blocks=blocks, order=order, deriv_type=deriv_type,
+        W=W, WXS=WXS, S=S, NYP=NYP, NXP=NXP,
         precision=precision, interpret=interp)
     delta = pl.pallas_call(
         kern,
@@ -341,7 +357,7 @@ def _deposit_delta(ym, xm, val_list, NY, NX, order, deriv_type, ykinds,
 
 
 def _corrective_deposit(acc, ym, xm, val_list, ywide, NY, NX, order,
-                        deriv_type, ykinds, xkind, S):
+                        deriv_type, blocks, S):
     """Exact scatter-add of y-overflow lanes, grouped into superchunks of
     16 sub-chunks so the 0/1-trip cost stays per-superchunk (see
     ops/banded.py corrective pass)."""
@@ -362,11 +378,11 @@ def _corrective_deposit(acc, ym, xm, val_list, ywide, NY, NX, order,
 
             def do(aa):
                 off = 0
-                for kind, ci in ykinds:
+                for yk, xk, ci in blocks:
                     cvi = (cv[off:off + ci] * cw[None].astype(cv.dtype)).T
                     aa = aa.at[off:off + ci].set(_scatter_deposit_chunk(
                         aa[off:off + ci], cym, cxm, cvi, order,
-                        deriv_type, kind, xkind))
+                        deriv_type, yk, xk))
                     off += ci
                 return aa
 
@@ -382,7 +398,7 @@ def _corrective_deposit(acc, ym, xm, val_list, ywide, NY, NX, order,
 
 
 def _deposit_common(fields, ym, xm, val_list, NY, NX, order, deriv_type,
-                    ykinds, xkind, W, S, WXS, h, precision, interpret):
+                    blocks, W, S, WXS, h, precision, interpret):
     val_list = list(val_list)
     pad = _pad_particles(S, ym, xm, *val_list, sentinel=2.0 * NY)
     ym, xm = pad[1], pad[2]
@@ -391,11 +407,11 @@ def _deposit_common(fields, ym, xm, val_list, NY, NX, order, deriv_type,
     ay, ax, ywide = _anchors_wide(ym, xm, NYP, NXP, order, deriv_type,
                                   min(W, NYP), min(WXS, NXP), S)
     delta = _deposit_delta(ym, xm, val_list, NY, NX, order, deriv_type,
-                           ykinds, xkind, W, WXS, S, h, precision,
+                           blocks, W, WXS, S, h, precision,
                            interpret, (ay, ax))
     acc = fields + delta
     acc = _corrective_deposit(acc, ym, xm, val_list, ywide, NY, NX, order,
-                              deriv_type, ykinds, xkind, S)
+                              deriv_type, blocks, S)
     return acc, jnp.zeros((), jnp.int32)
 
 
@@ -414,7 +430,7 @@ def pallas_deposit(fields, ym, xm, values_cn, NY, NX, order,
     in-kernel fallback / corrective pass."""
     C = values_cn.shape[0]
     return _deposit_common(fields, ym, xm, [values_cn[c] for c in range(C)],
-                           NY, NX, order, deriv_type, ((ykind, C),), xkind,
+                           NY, NX, order, deriv_type, ((ykind, xkind, C),),
                            W, S, WXS, h, precision, interpret)
 
 
@@ -428,8 +444,27 @@ def pallas_deposit_multi(fields, ym, xm, values_cn, ykinds, NY, NX, order,
     matrix (Pallas equivalent of banded_deposit_multi; values channel-
     major). ykinds: static tuple of (kind, C_i), kind in {"w", "dw"}."""
     C = values_cn.shape[0]
+    blocks = tuple((yk, "w", ci) for yk, ci in ykinds)
     return _deposit_common(fields, ym, xm, [values_cn[c] for c in range(C)],
-                           NY, NX, order, deriv_type, ykinds, "w",
+                           NY, NX, order, deriv_type, blocks,
+                           W, S, WXS, h, precision, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "blocks", "NY", "NX", "order", "deriv_type", "W", "S", "WXS", "h",
+    "precision", "interpret"))
+def pallas_deposit_blocks(fields, ym, xm, values_cn, blocks, NY, NX,
+                          order, deriv_type, W=DEF_W, S=DEF_S,
+                          WXS=DEF_WXS, h=DEF_H, precision="bf16x3",
+                          interpret=None):
+    """Fully fused deposit of channel blocks with per-block (ykind, xkind)
+    weight selection, sharing ONE pass over the particle positions —
+    e.g. the explicit path's main currents + Sx/Sy coefficient channels
+    (w,w) + dwy channels (dw,w) + dwx channels (w,dw) in a single kernel.
+    blocks: static tuple of (ykind, xkind, C_i)."""
+    C = values_cn.shape[0]
+    return _deposit_common(fields, ym, xm, [values_cn[c] for c in range(C)],
+                           NY, NX, order, deriv_type, blocks,
                            W, S, WXS, h, precision, interpret)
 
 
@@ -437,8 +472,9 @@ def pallas_deposit_multi(fields, ym, xm, values_cn, ykinds, NY, NX, order,
 # fused main-fields gather
 # ----------------------------------------------------------------------
 def _gather_main_kernel(ay_ref, ax_ref, ym_ref, xm_ref, stack_ref,
-                        exmby_ref, eypbx_ref, rest_ref, *,
-                        order, W, WXS, S, NYP, NXP, precision, interpret):
+                        exmby_ref, eypbx_ref, ez_ref, bx_ref, by_ref,
+                        bz_ref, *, order, W, WXS, S, NYP, NXP, precision,
+                        interpret):
     i = pl.program_id(0)
     ym = ym_ref[0]
     xm = xm_ref[0]
@@ -473,15 +509,11 @@ def _gather_main_kernel(ay_ref, ax_ref, ym_ref, xm_ref, stack_ref,
         tmp_dx = _dot_nt(win[0], dwxt, precision, dims=(1, 0))   # (W, S)
         e = jnp.sum(wyt * tmp_dx, axis=0, keepdims=True)
         p = jnp.sum(dwyt * tmp[0], axis=0, keepdims=True)
-        r = jnp.sum(wyt[None] * tmp[1:], axis=1)                 # (4, S)
-        if first:
-            exmby_ref[0] = e
-            eypbx_ref[0] = p
-            rest_ref[0] = r
-        else:
-            exmby_ref[0] = jnp.where(lane_mask, e, exmby_ref[0])
-            eypbx_ref[0] = jnp.where(lane_mask, p, eypbx_ref[0])
-            rest_ref[0] = jnp.where(lane_mask, r, rest_ref[0])
+        rs = [jnp.sum(wyt * tmp[c], axis=0, keepdims=True)
+              for c in range(1, 5)]
+        refs = (exmby_ref, eypbx_ref, ez_ref, bx_ref, by_ref, bz_ref)
+        for ref, val in zip(refs, (e, p) + tuple(rs)):
+            ref[0] = val if first else jnp.where(lane_mask, val, ref[0])
 
     if full_row:
         win = stack_ref[:, pl.ds(ayd, W), :]
@@ -535,27 +567,23 @@ def pallas_gather_main(stack, ym, xm, NY, NX, order,
         grid=(nsub,),
         in_specs=[spec, spec,
                   pl.BlockSpec((5, NYP, NXP), lambda i, *_: (0, 0, 0))],
-        out_specs=[spec, spec,
-                   pl.BlockSpec((1, 4, S), lambda i, *_: (i, 0, 0))],
+        out_specs=[spec] * 6,
     )
     interp = _interp_default(interpret)
     kern = functools.partial(_gather_main_kernel, order=order, W=W,
                              WXS=WXS, S=S, NYP=NYP, NXP=NXP,
                              precision=precision, interpret=interp)
     dt = stack.dtype
-    exmby, eypbx, rest = pl.pallas_call(
+    outs = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((nsub, 1, S), dt),
-                   jax.ShapeDtypeStruct((nsub, 1, S), dt),
-                   jax.ShapeDtypeStruct((nsub, 4, S), dt)],
+        out_shape=[jax.ShapeDtypeStruct((nsub, 1, S), dt)] * 6,
         interpret=interp,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=112 * 1024 * 1024),
     )(ay, ax, ymc, xmc, stackp)
-    exmby = exmby.reshape(N)
-    eypbx = eypbx.reshape(N)
-    rest = jnp.swapaxes(rest, 1, 2)                    # (nsub, S, 4)
+    exmby, eypbx = outs[0].reshape(N), outs[1].reshape(N)
+    rest = jnp.stack([o.reshape(N) for o in outs[2:]], axis=-1)
 
     # corrective pass: patch y-overflow lanes (post-sort motion / sort
     # drift) with the exact elementwise gather in a 0/1-trip while_loop

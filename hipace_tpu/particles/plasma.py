@@ -890,7 +890,7 @@ def fused_plasma_deposits(p: dict, stack_comps: list[str], fields: dict,
     Returns (out_fields, new_p, dgrids) where dgrids = (d1, d2, d3) raw
     channel grids for combine_explicit_sxsy, called after the Psi/Ez solve.
     """
-    from ..ops.banded import dispatch_deposit, dispatch_deposit_multi
+    from ..ops.banded import dispatch_deposit
     charge = cfg.charge
     clight = pc.c
     cin = 1.0 / pc.c
@@ -984,20 +984,21 @@ def fused_plasma_deposits(p: dict, stack_comps: list[str], fields: dict,
         dgrids = (acc[Cm:Cm + C1], acc[Cm + C1:Cm + C1 + 2],
                   acc[Cm + C1 + 2:], True)
     else:
+        # one fused kernel pass over the positions: main currents +
+        # s-channels (w,w) + dwy channels (dw,w) + dwx channels (w,dw)
+        from ..ops.banded import dispatch_deposit_blocks
         vmain = [_val(c) for c in stack_comps] + chans
         acc = jnp.concatenate([
             jnp.stack([fields[c] for c in stack_comps]),
-            jnp.zeros((C1 + 2, NY, NX), x.dtype)])
-        acc, lost1 = dispatch_deposit_multi(
-            acc, ym, xm, vmain + v3, (("w", Cm + C1), ("dw", 2)), banded,
-            NY, NX, order, deriv_type)
-        d2 = jnp.zeros((2, NY, NX), x.dtype)
-        d2, lost2 = dispatch_deposit(d2, ym, xm, v2, banded, NY, NX, order,
-                                     deriv_type=deriv_type, ykind="w",
-                                     xkind="dw")
+            jnp.zeros((C1 + 4, NY, NX), x.dtype)])
+        acc, lost1 = dispatch_deposit_blocks(
+            acc, ym, xm, vmain + v3 + v2,
+            (("w", "w", Cm + C1), ("dw", "w", 2), ("w", "dw", 2)),
+            banded, NY, NX, order, deriv_type)
         if lost_out is not None:
-            lost_out.append(lost1 + lost2)
-        dgrids = (acc[Cm:Cm + C1], d2, acc[Cm + C1:], False)
+            lost_out.append(lost1)
+        dgrids = (acc[Cm:Cm + C1], acc[Cm + C1 + 2:],
+                  acc[Cm + C1:Cm + C1 + 2], False)
 
     out_fields = dict(fields)
     for i, c in enumerate(stack_comps):
@@ -1106,7 +1107,6 @@ def explicit_deposition(p: dict, fields: dict, geom: Geometry,
     m = order + deriv_type + 1
 
     if banded is not None:
-        from ..ops.banded import dispatch_deposit
         # guard-offset cell positions with a finite sentinel for invalid
         # lanes; the kernels compute the shape factors in-body
         xmb = jnp.where(p["valid"], xm + G, 2.0 * NX)
@@ -1127,25 +1127,25 @@ def explicit_deposition(p: dict, fields: dict, geom: Geometry,
         if use_laser:
             chans.append(0.25 * base * qm_psi)   # u6
         C1 = len(chans)
-        d1 = jnp.zeros((C1, NY, NX), x.dtype)
-        d1, _lost1 = dispatch_deposit(d1, ymb, xmb, chans, banded, NY, NX,
-                                      order, deriv_type=deriv_type)
-        if lost_out is not None:
-            lost_out.append(_lost1)
-        # derivative-weighted channels deposit straight into Sy/Sx
+        # derivative-weighted channels deposit straight into Sy/Sx;
+        # one fused kernel pass over the positions (see
+        # fused_plasma_deposits)
+        from ..ops.banded import dispatch_deposit_blocks
         cdc = cd_mu0 * clight
         v2 = [cdc * dx_inv * vx * vy,
               cdc * dx_inv * (gamma_psi - vx * vx - 1.0)]
-        d2 = jnp.zeros((2, NY, NX), x.dtype)
-        d2, _ = dispatch_deposit(d2, ymb, xmb, v2, banded, NY, NX, order,
-                                 deriv_type=deriv_type, ykind="w",
-                                 xkind="dw")
         v3 = [-cdc * dy_inv * (gamma_psi - vy * vy - 1.0),
               -cdc * dy_inv * vx * vy]
-        d3 = jnp.zeros((2, NY, NX), x.dtype)
-        d3, _ = dispatch_deposit(d3, ymb, xmb, v3, banded, NY, NX, order,
-                                 deriv_type=deriv_type, ykind="dw",
-                                 xkind="w")
+        dall = jnp.zeros((C1 + 4, NY, NX), x.dtype)
+        dall, _lost1 = dispatch_deposit_blocks(
+            dall, ymb, xmb, chans + v3 + v2,
+            (("w", "w", C1), ("dw", "w", 2), ("w", "dw", 2)),
+            banded, NY, NX, order, deriv_type)
+        if lost_out is not None:
+            lost_out.append(_lost1)
+        d1 = dall[:C1]
+        d3 = dall[C1:C1 + 2]
+        d2 = dall[C1 + 2:]
         bz_f, ez_f = fields["Bz"], fields["Ez"]
         exmby_f, eypbx_f = fields["ExmBy"], fields["EypBx"]
         cinc = jnp.asarray(cin, x.dtype)

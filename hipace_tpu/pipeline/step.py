@@ -656,15 +656,22 @@ def _row_sort(p: dict, geom: Geometry, stripe_h: int = 0):
 
 
 def make_poisson_solver(name: str, g: Geometry, dtype):
-    """fields.poisson_solver selection (ref Fields.cpp:29-44)."""
+    """fields.poisson_solver selection (ref Fields.cpp:29-44).
+
+    On TPU in f32 the DST is evaluated as two dense sine-matrix products
+    on the MXU instead of XLA's FFT (~10x at 1023^2; ~2e-6 relative,
+    inside the f32 production envelope). fp64/CPU keeps the FFT path
+    (checksum-exact)."""
     from ..fields.poisson import (MGDirichletPoissonSolver,
                                   PeriodicPoissonSolver)
+    mxu = (dtype == jnp.float32 and jax.default_backend() == "tpu")
     if name in ("FFTDirichletDirect", "FFTDirichletExpanded"):
         return DirichletPoissonSolver(g.nx, g.ny, g.dx, g.dy, dtype,
-                                      variant="expanded")
+                                      variant="matmul" if mxu
+                                      else "expanded")
     if name == "FFTDirichletFast":
         return DirichletPoissonSolver(g.nx, g.ny, g.dx, g.dy, dtype,
-                                      variant="fast")
+                                      variant="matmul" if mxu else "fast")
     if name == "MGDirichlet":
         return MGDirichletPoissonSolver(g.nx, g.ny, g.dx, g.dy, dtype)
     if name == "FFTPeriodic":

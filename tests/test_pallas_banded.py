@@ -151,6 +151,51 @@ def test_pallas_deposit_multi_matches_banded():
                                rtol=1e-12, atol=1e-12)
 
 
+def test_pallas_deposit_blocks_fused():
+    """One fused kernel pass with per-block (ykind, xkind) weights must
+    equal three separate exact deposits."""
+    from hipace_tpu.ops.pallas_banded import pallas_deposit_blocks
+    NY, NX = 70, 70
+    N, h, order, dt = 4096, 8, 2, 1
+    ym, xm = _make_particles(31, N, NY, NX, h, n_invalid=64)
+    vals_cn = jnp.stack([jnp.ones(N, jnp.float64), xm, ym,
+                         xm * ym, xm - ym, xm + ym, ym - 2 * xm])
+    blocks = (("w", "w", 3), ("dw", "w", 2), ("w", "dw", 2))
+    F0 = jnp.zeros((7, NY, NX), jnp.float64)
+    got, _ = pallas_deposit_blocks(F0, ym, xm, vals_cn, blocks, NY, NX,
+                                   order, dt, interpret=True)
+    ref = jnp.concatenate([
+        _exact_deposit(ym, xm, vals_cn[:3].T, NY, NX, order, dt, "w", "w"),
+        _exact_deposit(ym, xm, vals_cn[3:5].T, NY, NX, order, dt,
+                       "dw", "w"),
+        _exact_deposit(ym, xm, vals_cn[5:].T, NY, NX, order, dt,
+                       "w", "dw")])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-12, atol=1e-12)
+
+
+def test_dispatch_deposit_blocks_xla():
+    """The XLA decomposition of the blocks dispatcher must equal the
+    exact deposits too."""
+    from hipace_tpu.ops.banded import BandedOpts, dispatch_deposit_blocks
+    NY, NX = 70, 70
+    N, h, order, dt = 2048, 8, 2, 1
+    ym, xm = _make_particles(37, N, NY, NX, h, n_invalid=32)
+    vals = [jnp.ones(N, jnp.float64), xm, ym, xm * ym, xm - ym]
+    blocks = (("w", "w", 2), ("dw", "w", 1), ("w", "dw", 2))
+    opts = BandedOpts(backend="xla", W=4096, K=1024)
+    F0 = jnp.zeros((5, NY, NX), jnp.float64)
+    got, _ = dispatch_deposit_blocks(F0, ym, xm, vals, blocks, opts,
+                                     NY, NX, order, dt)
+    v = jnp.stack(vals, axis=-1)
+    ref = jnp.concatenate([
+        _exact_deposit(ym, xm, v[:, :2], NY, NX, order, dt, "w", "w"),
+        _exact_deposit(ym, xm, v[:, 2:3], NY, NX, order, dt, "dw", "w"),
+        _exact_deposit(ym, xm, v[:, 3:], NY, NX, order, dt, "w", "dw")])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-12, atol=1e-12)
+
+
 def test_pallas_gather_main_matches_banded():
     NY, NX = 70, 70
     N, h, order = 4096, 8, 2

@@ -1,10 +1,12 @@
-"""Microbench: Pallas deposit/gather kernels on the real TPU.
+"""Microbench: Pallas vs XLA banded kernels on the real TPU.
 
-Times pallas_deposit / pallas_gather_main / pallas_deposit_multi at
-transverse-benchmark scale (1M particles, 1023^2, f32) against the XLA
-banded kernels, across (W, S, WXS) and precision settings.
+Chain-based timing: every iteration's inputs depend on the previous
+output, so nothing can be hoisted out of the scan, CSE'd, or deduped by
+the runtime (naive repeat-same-call loops measure garbage through the
+axon tunnel — see .claude/skills/verify: block_until_ready does not
+synchronize; readback forces it).
 
-Usage: python tools/bench_pallas.py [N] [NXY]
+Usage: python tools/bench_pallas.py [pallas|xla|all] [N] [NXY]
 """
 
 import os
@@ -22,10 +24,14 @@ from hipace_tpu.ops.pallas_banded import (pallas_deposit,
                                           pallas_deposit_multi,
                                           pallas_gather_main)
 
+R = 10
+EPS = 1e-30
 
-def make_data(N, NXY, h, dtype):
+
+def make_data(N, NXY, h, dtype, seed=0):
+    """Stripe-snake sorted uniform particles on an (NXY+2G)^2 grid."""
     G = 3
-    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
     NX = NXY + 2 * G
     x = jax.random.uniform(k1, (N,), jnp.float32, 0., float(NXY)) + G
     y = jax.random.uniform(k2, (N,), jnp.float32, 0., float(NXY)) + G
@@ -38,63 +44,80 @@ def make_data(N, NXY, h, dtype):
     return x.astype(dtype), y.astype(dtype)
 
 
-def timeit(f, reps=30):
-    r = f()
-    jax.block_until_ready(jax.tree_util.tree_leaves(r)[0])
+def bench(name, make_body, carry0):
+    @jax.jit
+    def chain(c, seed):
+        def body(c, _):
+            return make_body(c, seed), None
+        return jax.lax.scan(body, c, None, length=R)[0]
+
+    out = chain(carry0, jnp.float32(0))
+    float(jnp.sum(jax.tree_util.tree_leaves(out)[0]))
     t0 = time.perf_counter()
-    for _ in range(reps):
-        r = f()
-    jax.block_until_ready(jax.tree_util.tree_leaves(r)[0])
-    return (time.perf_counter() - t0) / reps * 1e3
+    out = chain(carry0, jnp.float32(1))
+    float(jnp.sum(jax.tree_util.tree_leaves(out)[0]))
+    dt = (time.perf_counter() - t0) / R * 1e3
+    print(f"{name}: {dt:6.2f} ms/call", flush=True)
 
 
 def main():
-    N = int(sys.argv[1]) if len(sys.argv) > 1 else 1048576
-    NXY = int(sys.argv[2]) if len(sys.argv) > 2 else 1023
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    N = int(sys.argv[2]) if len(sys.argv) > 2 else 1048576
+    NXY = int(sys.argv[3]) if len(sys.argv) > 3 else 1023
     G = 3
     NY = NX = NXY + 2 * G
     order = 2
-    dtype = jnp.float32
 
-    for h, W, S, WXS in [(8, 32, 512, 256), (8, 32, 1024, 256),
-                         (16, 48, 1024, 256), (8, 32, 2048, 384)]:
-        xm, ym = make_data(N, NXY, h, dtype)
-        vals6 = jnp.stack([xm * 0 + 1, xm, ym, xm * ym, xm + ym, xm - ym])
-        vals10 = jnp.concatenate([vals6, vals6[:4] * 0.5])
-        stack_cm = jax.random.normal(jax.random.PRNGKey(1), (5, NY, NX),
-                                     dtype)
-        for prec in ("bf16x3", "highest", "bf16"):
-            F0 = jnp.zeros((6, NY, NX), dtype)
-            t_dep = timeit(lambda: pallas_deposit(
-                F0, ym, xm, vals6, NY, NX, order, W=W, S=S, WXS=WXS, h=h,
-                precision=prec))
-            t_g = timeit(lambda: pallas_gather_main(
-                stack_cm, ym, xm, NY, NX, order, W=W, S=S, WXS=WXS, h=h,
-                precision=prec))
-            F1 = jnp.zeros((10, NY, NX), dtype)
-            t_multi = timeit(lambda: pallas_deposit_multi(
-                F1, ym, xm, vals10, (("w", 8), ("dw", 2)), NY, NX, order,
-                1, W=W, S=S, WXS=WXS, h=h, precision=prec))
-            print(f"pallas h={h} W={W} S={S} WXS={WXS} {prec:8s}: "
-                  f"dep6 {t_dep:6.2f}  gmain {t_g:6.2f}  "
-                  f"multi10 {t_multi:6.2f} ms", flush=True)
-
-    # XLA banded reference (W=32, K=8192 production defaults)
-    xm, ym = make_data(N, NXY, 0 or 8, dtype)
+    xm, ym = make_data(N, NXY, 8, jnp.float32)
     vals6 = jnp.stack([xm * 0 + 1, xm, ym, xm * ym, xm + ym, xm - ym])
     vals10 = jnp.concatenate([vals6, vals6[:4] * 0.5])
-    F0 = jnp.zeros((6, NY, NX), dtype)
-    t_dep = timeit(lambda: banded_deposit(F0, ym, xm, vals6.T, NY, NX,
-                                          order, W=32, K=8192))
-    stack_lm = jax.random.normal(jax.random.PRNGKey(1), (NY, NX, 5), dtype)
-    t_g = timeit(lambda: banded_gather_main(stack_lm, ym, xm, NY, NX,
-                                            order, W=32, K=8192))
-    F1 = jnp.zeros((10, NY, NX), dtype)
-    t_multi = timeit(lambda: banded_deposit_multi(
-        F1, ym, xm, vals10.T, (("w", 8), ("dw", 2)), NY, NX, order, 1,
-        W=32, K=8192))
-    print(f"XLA banded W=32 K=8192:       dep6 {t_dep:6.2f}  "
-          f"gmain {t_g:6.2f}  multi10 {t_multi:6.2f} ms")
+    F6 = jnp.zeros((6, NY, NX), jnp.float32)
+    F10 = jnp.zeros((10, NY, NX), jnp.float32)
+    stack_cm = jax.random.normal(jax.random.PRNGKey(1), (5, NY, NX),
+                                 jnp.float32)
+    stack_lm = jnp.moveaxis(stack_cm, 0, -1)
+
+    if which in ("all", "pallas"):
+        def body_pd(c, seed):
+            ym2 = ym + (c[0, 0, 0] * EPS + seed * 0.0)
+            return pallas_deposit(jnp.zeros_like(c), ym2, xm, vals6,
+                                  NY, NX, order)[0] + c * EPS
+        bench("pallas dep6   ", body_pd, F6 + 1.0)
+
+        def body_pm(c, seed):
+            ym2 = ym + (c[0, 0, 0] * EPS + seed * 0.0)
+            return pallas_deposit_multi(
+                jnp.zeros_like(c), ym2, xm, vals10, (("w", 8), ("dw", 2)),
+                NY, NX, order, 1)[0] + c * EPS
+        bench("pallas multi10", body_pm, F10 + 1.0)
+
+        def body_pg(c, seed):
+            ym2 = ym + (c[0, 0, 0] * EPS + seed * 0.0)
+            r = pallas_gather_main(c, ym2, xm, NY, NX, order)
+            return c + r[0][0] * EPS
+        bench("pallas gmain  ", body_pg, stack_cm)
+
+    if which in ("all", "xla"):
+        def body_xd(c, seed):
+            ym2 = ym + (c[0, 0, 0] * EPS + seed * 0.0)
+            return banded_deposit(jnp.zeros_like(c), ym2, xm, vals6.T,
+                                  NY, NX, order, W=32, K=8192)[0] + c * EPS
+        bench("XLA dep6      ", body_xd, F6 + 1.0)
+
+        def body_xm(c, seed):
+            ym2 = ym + (c[0, 0, 0] * EPS + seed * 0.0)
+            return banded_deposit_multi(
+                jnp.zeros_like(c), ym2, xm, vals10.T,
+                (("w", 8), ("dw", 2)), NY, NX, order, 1,
+                W=32, K=8192)[0] + c * EPS
+        bench("XLA multi10   ", body_xm, F10 + 1.0)
+
+        def body_xg(c, seed):
+            ym2 = ym + (c[0, 0, 0] * EPS + seed * 0.0)
+            r = banded_gather_main(c, ym2, xm, NY, NX, order,
+                                   W=32, K=8192)
+            return c + r[0][0] * EPS
+        bench("XLA gmain     ", body_xg, stack_lm)
 
 
 if __name__ == "__main__":
