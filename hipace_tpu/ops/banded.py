@@ -275,15 +275,18 @@ def _scatter_deposit_chunk(acc, cym, cxm, cv, order, deriv_type,
     cwx = wxs if xkind == "w" else dwxs
     my = cwy.shape[1]
     mx = cwx.shape[1]
-    jy = jnp.clip(ciy0[:, None, None]
-                  + jnp.arange(my, dtype=jnp.int32)[None, :, None],
-                  0, NYp - 1)
-    jx = jnp.clip(cix0[:, None, None]
-                  + jnp.arange(mx, dtype=jnp.int32)[None, None, :],
-                  0, NXp - 1)
+    jy_raw = ciy0[:, None, None] \
+        + jnp.arange(my, dtype=jnp.int32)[None, :, None]
+    jx_raw = cix0[:, None, None] \
+        + jnp.arange(mx, dtype=jnp.int32)[None, None, :]
+    # taps outside the padded array are DROPPED, not clamped (same
+    # semantics as ops/deposit.py and the Pallas in-kernel x fallback);
+    # this also zeroes sentinel lanes (iy0 >= NYp)
+    cwy = cwy * ((jy_raw >= 0) & (jy_raw < NYp))[:, :, 0]
+    cwx = cwx * ((jx_raw >= 0) & (jx_raw < NXp))[:, 0, :]
+    jy = jnp.clip(jy_raw, 0, NYp - 1)
+    jx = jnp.clip(jx_raw, 0, NXp - 1)
     w = cwy[:, :, None] * cwx[:, None, :]                   # (K, my, mx)
-    # guard: sentinel rows (iy0 >= NY) must not deposit
-    w = w * (ciy0 < NYp)[:, None, None]
     jy = jnp.broadcast_to(jy, w.shape)
     jx = jnp.broadcast_to(jx, w.shape)
     upd = w[None] * cv.T[:, :, None, None]                  # (C, K, my, mx)

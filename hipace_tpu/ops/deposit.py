@@ -35,8 +35,17 @@ def deposit_multi(fields_stack, xp, yp, values, geom, order):
     ix0, wx = shape_weights(x, order)
     iy0, wy = shape_weights(y, order)
     m = order + 1
-    ii = jnp.clip(ix0[:, None] + jnp.arange(m, dtype=jnp.int32) + G, 0, NX - 1)
-    jj = jnp.clip(iy0[:, None] + jnp.arange(m, dtype=jnp.int32) + G, 0, NY - 1)
+    # stencil taps outside the padded array are DROPPED (zero weight), not
+    # clamped: charge beyond the guard band never piles into the outermost
+    # guard cell. Matches the banded/Pallas kernels; only possible for
+    # out-of-domain beam lanes (plasma is BC-enforced in-domain and the
+    # guard band covers its stencil reach).
+    ii_raw = ix0[:, None] + jnp.arange(m, dtype=jnp.int32) + G
+    jj_raw = iy0[:, None] + jnp.arange(m, dtype=jnp.int32) + G
+    wx = wx * ((ii_raw >= 0) & (ii_raw < NX))
+    wy = wy * ((jj_raw >= 0) & (jj_raw < NY))
+    ii = jnp.clip(ii_raw, 0, NX - 1)
+    jj = jnp.clip(jj_raw, 0, NY - 1)
     w = wy[:, :, None] * wx[:, None, :]                       # (N, m, m)
     jf = jnp.broadcast_to(jj[:, :, None], (len(x), m, m)).reshape(-1)
     if_ = jnp.broadcast_to(ii[:, None, :], (len(x), m, m)).reshape(-1)

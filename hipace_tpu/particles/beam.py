@@ -653,13 +653,50 @@ def chunk_reduce(arrs: dict, n_active, chunk: int, acc, body_fn):
     return acc
 
 
+def _beam_cell_pos(x, y, mask, geom: Geometry):
+    """Guard-offset cell positions with a finite sentinel on masked-out
+    lanes (so they sort to the tail and never widen a banded window)."""
+    G = geom.nguards
+    NY, NX = geom.slice_shape
+    xm = jnp.where(mask, (x - geom.x_pos_offset) / geom.dx + G, 2.0 * NX)
+    ym = jnp.where(mask, (y - geom.y_pos_offset) / geom.dy + G, 2.0 * NY)
+    return ym, xm
+
+
+def _stripe_key(ym, xm, geom: Geometry, h: int):
+    """Stripe-snake sort key over guard-offset cell positions (same order
+    as step.py _row_sort): stripes of h rows, x-ascending boustrophedon.
+    Sentinel positions land beyond every live stripe."""
+    NY, NX = geom.slice_shape
+    row = jnp.clip(jnp.floor(ym).astype(jnp.int32), 0, 2 * NY)
+    col = jnp.clip(jnp.floor(xm).astype(jnp.int32), 0, NX)
+    stripe = row // h
+    colkey = jnp.where(stripe % 2 == 0, col, NX - col)
+    return stripe * (NX + 2) + colkey
+
+
+def sort_beam_slice(bp: dict, geom: Geometry, h: int) -> dict:
+    """Stripe-snake sort a beam slice dict for the banded kernels. Every
+    attribute rides the multi-operand lax.sort (argsort + gather is ~17x
+    slower on TPU). Lane order within a slice carries no meaning (the
+    reference reorders too, BeamParticleContainer.H:255-258)."""
+    ym, xm = _beam_cell_pos(bp["x"], bp["y"], bp["valid"], geom)
+    key = _stripe_key(ym, xm, geom, h)
+    names = sorted(bp)
+    res = jax.lax.sort([key] + [bp[n] for n in names], num_keys=1)
+    return dict(zip(names, res[1:]))
+
+
 def advance_all_beams(bp: dict, fields: dict, geom: Geometry, cfgs,
                       pc: PhysConst, dt, min_z, order: int = 2, time=0.0,
                       background_density_SI: float = 0.0, fine_levels=(),
-                      chunk: int = 0, n_active=None):
+                      chunk: int = 0, n_active=None, banded=None):
     """Push all beam species in the merged array, one masked pass per
     species (static per-species parameters). With chunk > 0 and n_active
-    given, lanes are processed in dynamic-count chunks (see chunk_apply)."""
+    given, lanes are processed in dynamic-count chunks (see chunk_apply).
+    With banded (BandedOpts, pallas backend), lanes are stripe-snake
+    sorted once and every subcycle gather runs through the banded MXU
+    kernel instead of the XLA gather."""
     if chunk and n_active is not None:
         return chunk_apply(
             bp, n_active, chunk,
@@ -667,6 +704,8 @@ def advance_all_beams(bp: dict, fields: dict, geom: Geometry, cfgs,
                 ch, fields, geom, cfgs, pc, dt, min_z, order=order,
                 time=time, background_density_SI=background_density_SI,
                 fine_levels=fine_levels))
+    if banded is not None:
+        bp = sort_beam_slice(bp, geom, banded.h)
     out = bp
     for b, cfg in enumerate(cfgs):
         mask = (bp["beam_id"] == b) if len(cfgs) > 1 else None
@@ -674,7 +713,7 @@ def advance_all_beams(bp: dict, fields: dict, geom: Geometry, cfgs,
             out, fields, geom, cfg, pc, dt, min_z, order=order,
             external_fields=cfg.external_field_fns(), time=time,
             background_density_SI=background_density_SI, species_mask=mask,
-            fine_levels=fine_levels)
+            fine_levels=fine_levels, banded=banded)
     return out
 
 
@@ -682,7 +721,7 @@ def advance_beam_slice(bp: dict, fields: dict, geom: Geometry,
                        cfg: BeamConfig, pc: PhysConst, dt, min_z,
                        order: int = 2, external_fields=None,
                        time=0.0, background_density_SI: float = 0.0,
-                       species_mask=None, fine_levels=()):
+                       species_mask=None, fine_levels=(), banded=None):
     """Push beam particles of one slice forward in time by dt
     (ref BeamParticleAdvance.cpp:19-336). Subcycled leapfrog-like push with
     optional external fields, TBMT spin precession (:218-241) and Tamburini
@@ -740,9 +779,19 @@ def advance_beam_slice(bp: dict, fields: dict, geom: Geometry,
             xh, yh, ux, uy, w, valid, geom, cfg.particle_boundary,
             bounds=getattr(cfg, "particle_bounds", None))
 
-        exmby, eypbx, ez, bx, by, bz = gather_main_fields(
-            xh, yh, fields["Psi"], fields["Ez"], fields["Bx"], fields["By"],
-            fields["Bz"], geom, order)
+        if banded is not None:
+            from ..ops.banded import dispatch_gather_main
+            NY, NX = geom.slice_shape
+            ymg, xmg = _beam_cell_pos(xh, yh, val_b, geom)
+            exmby, eypbx, ez, bx, by, bz, _ = dispatch_gather_main(
+                [fields["Psi"], fields["Ez"], fields["Bx"], fields["By"],
+                 fields["Bz"]], ymg, xmg, banded, NY, NX, order)
+            exmby = exmby / geom.dx
+            eypbx = eypbx / geom.dy
+        else:
+            exmby, eypbx, ez, bx, by, bz = gather_main_fields(
+                xh, yh, fields["Psi"], fields["Ez"], fields["Bx"],
+                fields["By"], fields["Bz"], geom, order)
         # MR: gather from the finest level containing the particle
         # (ref BeamParticleAdvance.cpp:165-186); `act` gates levels whose
         # zeta range does not cover this slice
@@ -906,7 +955,7 @@ def _beam_deposit_values(bp, quantities, cfg, pc, invvol, only_salame,
         "jz": wq * vz,
         "rhomjz": wq * (1.0 - vz * clight_inv),
     }
-    return [values[q] for q in quantities]
+    return [values[q] for q in quantities], mask
 
 
 def deposit_beam_slice(bp: dict, comp_map: dict, fields: dict,
@@ -914,7 +963,7 @@ def deposit_beam_slice(bp: dict, comp_map: dict, fields: dict,
                        order: int, normalized_units: bool,
                        skip_slipped_min_z=None, only_salame: bool = False,
                        extra_mask=None, geom0: Geometry | None = None,
-                       chunk: int = 0, n_active=None):
+                       chunk: int = 0, n_active=None, banded=None):
     """Deposit beam currents (ref BeamDepositCurrent.cpp:60-200).
 
     comp_map maps quantity -> destination field name, e.g.
@@ -942,9 +991,9 @@ def deposit_beam_slice(bp: dict, comp_map: dict, fields: dict,
             lanes["_xmask"] = extra_mask
 
         def dep(acc, ch):
-            vals = _beam_deposit_values(ch, quantities, cfg, pc, invvol,
-                                        only_salame, skip_slipped_min_z,
-                                        extra_mask)
+            vals, _ = _beam_deposit_values(ch, quantities, cfg, pc, invvol,
+                                           only_salame, skip_slipped_min_z,
+                                           extra_mask)
             return deposit_multi(acc, ch["x"], ch["y"], vals, geom, order)
 
         stack = chunk_reduce(lanes, n_active, chunk, stack, dep)
@@ -952,10 +1001,25 @@ def deposit_beam_slice(bp: dict, comp_map: dict, fields: dict,
         bpv = dict(bp)
         if extra_mask is not None:
             bpv["_xmask"] = extra_mask
-        vals = _beam_deposit_values(bpv, quantities, cfg, pc, invvol,
-                                    only_salame, skip_slipped_min_z,
-                                    extra_mask)
-        stack = deposit_multi(stack, bp["x"], bp["y"], vals, geom, order)
+        vals, mask = _beam_deposit_values(bpv, quantities, cfg, pc, invvol,
+                                          only_salame, skip_slipped_min_z,
+                                          extra_mask)
+        if banded is not None:
+            # banded MXU deposit on a locally stripe-snake-sorted view:
+            # only positions + value channels ride the sort (the deposit
+            # does not update the beam), so the sort is ~free at beam-slice
+            # counts
+            from ..ops.banded import dispatch_deposit
+            NY, NX = geom.slice_shape
+            ym, xm = _beam_cell_pos(bp["x"], bp["y"], mask, geom)
+            key = _stripe_key(ym, xm, geom, banded.h)
+            res = jax.lax.sort([key, ym, xm] + vals, num_keys=1)
+            stack, _lost = dispatch_deposit(stack, res[1], res[2],
+                                            list(res[3:]), banded,
+                                            NY, NX, order)
+        else:
+            stack = deposit_multi(stack, bp["x"], bp["y"], vals, geom,
+                                  order)
     out = dict(fields)
     for i, q in enumerate(quantities):
         out[comp_map[q]] = stack[i]

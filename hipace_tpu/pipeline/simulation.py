@@ -220,6 +220,10 @@ class Simulation:
                                   int),
             pallas_precision=inputs.query("hipace.pallas_precision",
                                           SimConfig.pallas_precision, str),
+            beam_pallas_W=inputs.query("hipace.beam_pallas_W",
+                                       SimConfig.beam_pallas_W, int),
+            beam_pallas_h=inputs.query("hipace.beam_pallas_h",
+                                       SimConfig.beam_pallas_h, int),
             slip_cap=inputs.query("hipace.slip_cap", 64, int),
             beam_chunk=inputs.query("hipace.beam_chunk", 0, int),
             # ref plasmas.reorder_period (PlasmaParticleContainer sorting

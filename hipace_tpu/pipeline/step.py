@@ -227,6 +227,14 @@ class SimConfig:
     pallas_WXS: int = 256
     pallas_h: int = 8
     pallas_precision: str = "bf16x3"
+    # beam banded kernels (pallas backend only): the beam is transversely
+    # tight (a few hundred rows), so sparse head/tail sub-chunks span more
+    # rows than a plasma sub-chunk would — a wider window (W=64, h=24)
+    # keeps them off the corrective scatter. Replaces the XLA scatter
+    # deposits (~5.5 ms/slice at 1023^2) and per-subcycle XLA gathers
+    # (~9 ms/slice for 10 subcycles) measured in the round-3 profile.
+    beam_pallas_W: int = 64
+    beam_pallas_h: int = 24
     # beam lanes processed per while_loop chunk: per-slice cost scales with
     # occupancy instead of the peak-sized capacity (~6x waste for a
     # gaussian beam). 0 = whole-capacity processing — the DEFAULT, because
@@ -694,6 +702,18 @@ def _banded_opts(cfg: SimConfig, gather: bool = False):
                       h=cfg.pallas_h, precision=cfg.pallas_precision)
 
 
+def _beam_banded_opts(cfg: SimConfig):
+    """BandedOpts for the level-0 beam deposits/gathers, or None. Pallas
+    backend only (at beam-slice counts the XLA one-hot chunks span far
+    more rows than W); disabled under chunked beam ops or
+    hipace.beam_pallas_W = 0."""
+    base = _banded_opts(cfg)
+    if (base is None or base.backend != "pallas" or cfg.beam_chunk
+            or cfg.beam_pallas_W <= 0):
+        return None
+    return base._replace(W=cfg.beam_pallas_W, h=cfg.beam_pallas_h)
+
+
 def make_slice_step(cfg: SimConfig, dtype):
     """Build the per-slice function used by lax.scan."""
     g = cfg.geom
@@ -701,6 +721,7 @@ def make_slice_step(cfg: SimConfig, dtype):
     order = cfg.depos_order_xy
     banded = _banded_opts(cfg)
     banded_gather = _banded_opts(cfg, gather=True)
+    beam_banded = _beam_banded_opts(cfg)
     solver = make_poisson_solver(cfg.poisson_solver, g, dtype)
     mg = MultiGrid(g.nx, g.ny, g.dx, g.dy, dtype) if cfg.explicit else None
     mr = cfg.mr_levels
@@ -949,7 +970,7 @@ def make_slice_step(cfg: SimConfig, dtype):
             this = bm.deposit_beam_slice(
                 xs["beam_this"], cmap, this, g, cfg.beams, pc,
                 order, cfg.normalized_units,
-                chunk=bchunk, n_active=cnt_this)
+                chunk=bchunk, n_active=cnt_this, banded=beam_banded)
 
         # ---- MR: fine-level deposits (deposit predicate tag >= lev,
         # ref PlasmaDepositCurrent.cpp:130) + boundary compensation
@@ -1094,7 +1115,7 @@ def make_slice_step(cfg: SimConfig, dtype):
                 nxt = bm.deposit_beam_slice(
                     xs["beam_next"], {"jx": "jx_beam", "jy": "jy_beam"},
                     f["Next"], g, cfg.beams, pc, order, cfg.normalized_units,
-                    chunk=bchunk, n_active=cnt_next)
+                    chunk=bchunk, n_active=cnt_next, banded=beam_banded)
                 f = dict(f, Next=nxt)
             f = _init_sx_sy_with_beam(f, cfg)
             this = f["This"]
@@ -1351,7 +1372,8 @@ def make_slice_step(cfg: SimConfig, dtype):
                     (fine_f[i]["This"], lv.geom, actives[i])
                     for i, lv in enumerate(mr)) if mr else ()),
                 chunk=bchunk,
-                n_active=(cfg.slip_cap + cnt_this) if bchunk else None)
+                n_active=(cfg.slip_cap + cnt_this) if bchunk else None,
+                banded=beam_banded)
             # particles that stopped mid-subcycles slip to the carry buffer.
             # Multi-operand stable sort (argsort + gather is ~17x slower on
             # TPU), in a 0/1-trip while_loop so slices with nothing slipped

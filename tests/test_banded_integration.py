@@ -53,15 +53,24 @@ def _compare(ref, ban):
     dban = np.asarray(ban["diag"])
     scale = np.max(np.abs(dref)) + 1e-30
     assert np.max(np.abs(dban - dref)) / scale < 1e-10
-    # beam output must agree too (same particles, same fields)
+    # beam output must agree too (same particles, same fields). Lane ORDER
+    # is not semantically meaningful (the banded beam path stripe-snake
+    # sorts lanes, like the reference's ReorderParticles), so canonicalize
+    # by the (unmodified-by-the-push) z position before comparing.
     vr = np.asarray(ref["binned"]["valid"])
     vb = np.asarray(ban["binned"]["valid"])
-    np.testing.assert_array_equal(vr, vb)
+    assert vr.sum() == vb.sum()
+
+    def canon(res, v):
+        z = np.asarray(res["binned"]["z"])[v]
+        o = np.argsort(z, kind="stable")
+        return {k: np.asarray(res["binned"][k])[v][o]
+                for k in ("x", "y", "uz")}
+
+    a_, b_ = canon(ref, vr), canon(ban, vb)
     for k in ("x", "y", "uz"):
-        a = np.asarray(ref["binned"][k]) * vr
-        b = np.asarray(ban["binned"][k]) * vr
-        s = np.max(np.abs(a)) + 1e-30
-        assert np.max(np.abs(a - b)) / s < 1e-10, k
+        s = np.max(np.abs(a_[k])) + 1e-30
+        assert np.max(np.abs(a_[k] - b_[k])) / s < 1e-10, k
 
 
 def test_banded_path_matches_scatter():

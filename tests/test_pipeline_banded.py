@@ -51,12 +51,19 @@ diagnostic.output_period = 0
 """
 
 
-@pytest.mark.parametrize("n_dev", [2, 4])
-def test_pipelined_banded_matches_serial(n_dev):
+@pytest.mark.parametrize("n_dev,backend", [(2, "xla"), (4, "xla"),
+                                           (2, "pallas")])
+def test_pipelined_banded_matches_serial(n_dev, backend):
+    """backend "pallas" runs the Pallas kernels (interpret mode on CPU)
+    inside shard_map, which also activates the banded BEAM deposits and
+    per-subcycle gathers (step.py _beam_banded_opts)."""
     devices = jax.devices()
     assert len(devices) >= n_dev, "test needs the virtual CPU mesh"
 
-    inputs = Inputs(DECK, overrides=[f"max_step={n_dev - 1}"])
+    ov = [f"max_step={n_dev - 1}"]
+    if backend == "pallas":
+        ov += ["hipace.banded_backend=pallas"]
+    inputs = Inputs(DECK, overrides=ov)
     sim = Simulation(inputs, verbose=0)
     assert sim.cfg.use_banded, "deck must force the banded kernels"
     key = jax.random.PRNGKey(7)
