@@ -17,6 +17,14 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
 
+# match the test environment (tests/conftest.py): CPU backend with x64 —
+# the headroom is only meaningful at the precision the tests run at
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
 import numpy as np
 
 
@@ -48,9 +56,12 @@ def measure(case, tmpdir):
                 worst = (float("inf"), f"{field} MISSING")
                 continue
             ours = float(np.sum(np.abs(np.array(ds))))
-            if abs(ref) <= fabs and abs(ours) <= fabs:
+            # required rtol = the smallest r passing pytest.approx(ref,
+            # rel=r, abs=fabs): deviations inside the abs floor need r=0
+            d = abs(ours - ref)
+            if d <= fabs:
                 continue
-            rel = abs(ours - ref) / max(abs(ref), fabs)
+            rel = d / max(abs(ref), 1e-300)
             if rel > worst[0]:
                 worst = (rel, field)
         if skip_particles is not True:
@@ -68,9 +79,10 @@ def measure(case, tmpdir):
                         continue
                     ours = float(np.sum(np.abs(
                         np.array(gp[BEAM_MAP[attr]]))))
-                    if abs(ref) <= pabs and abs(ours) <= pabs:
+                    d = abs(ours - ref)
+                    if d <= pabs:
                         continue
-                    rel = abs(ours - ref) / max(abs(ref), pabs)
+                    rel = d / max(abs(ref), 1e-300)
                     if rel > worst[0]:
                         worst = (rel, f"{species}.{attr}")
     return worst
