@@ -179,7 +179,11 @@ def _anchors_wide(ym, xm, NYP, NXP, order, deriv_type, W, WXS, S):
     ax = jnp.clip(ax, 0, max(NXP - WXS - 1, 0))
     rely = iy0 - ay[:, None]
     ywide = ((rely < 0) | (rely + m > W)) & live
-    return ay, ax, ywide
+    # per-sub-chunk occupancy flag: all-sentinel sub-chunks (tail padding;
+    # beam slices run at ~15% occupancy) skip the weight build + dots
+    # entirely in-kernel
+    alive = jnp.any(live, axis=1).astype(jnp.int32)
+    return ay, ax, ywide, alive
 
 
 # ----------------------------------------------------------------------
@@ -224,12 +228,12 @@ def _roll_lanes(arr, shift, interpret):
 # ----------------------------------------------------------------------
 # deposit
 # ----------------------------------------------------------------------
-def _deposit_kernel(ay_ref, ax_ref, ym_ref, xm_ref, *refs,
+def _deposit_kernel(ay_ref, ax_ref, alive_ref, ym_ref, xm_ref, *refs,
                     blocks, order, deriv_type, W, WXS, S,
                     NYP, NXP, precision, interpret):
     """blocks: static tuple of (ykind, xkind, ci) channel blocks sharing
     the particle positions. One dot per distinct xkind; channels land in
-    block order."""
+    block order. All-sentinel sub-chunks skip the body entirely."""
     C = sum(ci for _, _, ci in blocks)
     val_refs = refs[:C]
     out_ref = refs[C]
@@ -239,10 +243,23 @@ def _deposit_kernel(ay_ref, ax_ref, ym_ref, xm_ref, *refs,
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    ym = ym_ref[0]                                   # (1, S)
-    xm = xm_ref[0]
     ay = ay_ref[i]
     ax = ax_ref[i]
+
+    @pl.when(alive_ref[i] > 0)
+    def _():
+        _deposit_body(ay, ax, ym_ref, xm_ref, val_refs, out_ref,
+                      blocks=blocks, order=order, deriv_type=deriv_type,
+                      W=W, WXS=WXS, S=S, NYP=NYP, NXP=NXP,
+                      precision=precision, interpret=interpret)
+
+
+def _deposit_body(ay, ax, ym_ref, xm_ref, val_refs, out_ref, *,
+                  blocks, order, deriv_type, W, WXS, S,
+                  NYP, NXP, precision, interpret):
+    C = sum(ci for _, _, ci in blocks)
+    ym = ym_ref[0]                                   # (1, S)
+    xm = xm_ref[0]
     m = _ntaps(order, deriv_type)
     iy0 = _i0(ym, order, deriv_type)
     ix0 = _i0(xm, order, deriv_type)
@@ -328,14 +345,14 @@ def _deposit_delta(ym, xm, val_list, NY, NX, order, deriv_type, blocks,
     NYP, NXP = _pad_shape(NY, NX)
     W = min(W, NYP)
     WXS = min(WXS, NXP)
-    ay, ax = anchors
+    ay, ax, alive = anchors
     ymc = ym.reshape(nsub, 1, S)
     xmc = xm.reshape(nsub, 1, S)
     vcs = [v.reshape(nsub, 1, S) for v in val_list]
 
     spec = pl.BlockSpec((1, 1, S), lambda i, *_: (i, 0, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(nsub,),
         in_specs=[spec, spec] + [spec] * C,
         out_specs=pl.BlockSpec((C, NYP, NXP), lambda i, *_: (0, 0, 0)),
@@ -352,7 +369,7 @@ def _deposit_delta(ym, xm, val_list, NY, NX, order, deriv_type, blocks,
         interpret=interp,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=112 * 1024 * 1024),
-    )(ay, ax, ymc, xmc, *vcs)
+    )(ay, ax, alive, ymc, xmc, *vcs)
     return delta[:, :NY, :NX]
 
 
@@ -404,11 +421,12 @@ def _deposit_common(fields, ym, xm, val_list, NY, NX, order, deriv_type,
     ym, xm = pad[1], pad[2]
     val_list = list(pad[3:])
     NYP, NXP = _pad_shape(NY, NX)
-    ay, ax, ywide = _anchors_wide(ym, xm, NYP, NXP, order, deriv_type,
-                                  min(W, NYP), min(WXS, NXP), S)
+    ay, ax, ywide, alive = _anchors_wide(ym, xm, NYP, NXP, order,
+                                         deriv_type, min(W, NYP),
+                                         min(WXS, NXP), S)
     delta = _deposit_delta(ym, xm, val_list, NY, NX, order, deriv_type,
                            blocks, W, WXS, S, h, precision,
-                           interpret, (ay, ax))
+                           interpret, (ay, ax, alive))
     acc = fields + delta
     acc = _corrective_deposit(acc, ym, xm, val_list, ywide, NY, NX, order,
                               deriv_type, blocks, S)
@@ -471,15 +489,34 @@ def pallas_deposit_blocks(fields, ym, xm, values_cn, blocks, NY, NX,
 # ----------------------------------------------------------------------
 # fused main-fields gather
 # ----------------------------------------------------------------------
-def _gather_main_kernel(ay_ref, ax_ref, ym_ref, xm_ref, stack_ref,
-                        exmby_ref, eypbx_ref, ez_ref, bx_ref, by_ref,
-                        bz_ref, *, order, W, WXS, S, NYP, NXP, precision,
-                        interpret):
+def _gather_main_kernel(ay_ref, ax_ref, alive_ref, ym_ref, xm_ref,
+                        stack_ref, exmby_ref, eypbx_ref, ez_ref, bx_ref,
+                        by_ref, bz_ref, *, order, W, WXS, S, NYP, NXP,
+                        precision, interpret):
     i = pl.program_id(0)
-    ym = ym_ref[0]
-    xm = xm_ref[0]
+    out_refs = (exmby_ref, eypbx_ref, ez_ref, bx_ref, by_ref, bz_ref)
     ay = ay_ref[i]
     ax = ax_ref[i]
+
+    @pl.when(alive_ref[i] == 0)
+    def _():
+        for ref in out_refs:
+            ref[0] = jnp.zeros_like(ref[0])
+
+    @pl.when(alive_ref[i] > 0)
+    def _():
+        _gather_main_body(ay, ax, ym_ref, xm_ref, stack_ref,
+                          out_refs, order=order, W=W, WXS=WXS, S=S,
+                          NYP=NYP, NXP=NXP, precision=precision,
+                          interpret=interpret)
+
+
+def _gather_main_body(ay, ax, ym_ref, xm_ref, stack_ref,
+                      out_refs, *, order, W, WXS, S, NYP, NXP, precision,
+                      interpret):
+    (exmby_ref, eypbx_ref, ez_ref, bx_ref, by_ref, bz_ref) = out_refs
+    ym = ym_ref[0]
+    xm = xm_ref[0]
     m = _ntaps(order, 1)
     iy0 = _i0(ym, order, 1)
     ix0 = _i0(xm, order, 1)
@@ -556,14 +593,15 @@ def pallas_gather_main(stack, ym, xm, NY, NX, order,
     NYP, NXP = _pad_shape(NY, NX)
     W = min(W, NYP)
     WXS = min(WXS, NXP)
-    ay, ax, ywide = _anchors_wide(ym, xm, NYP, NXP, order, 1, W, WXS, S)
+    ay, ax, ywide, alive = _anchors_wide(ym, xm, NYP, NXP, order, 1,
+                                         W, WXS, S)
     stackp = jnp.pad(stack, ((0, 0), (0, NYP - NY), (0, NXP - NX)))
     ymc = ym.reshape(nsub, 1, S)
     xmc = xm.reshape(nsub, 1, S)
 
     spec = pl.BlockSpec((1, 1, S), lambda i, *_: (i, 0, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(nsub,),
         in_specs=[spec, spec,
                   pl.BlockSpec((5, NYP, NXP), lambda i, *_: (0, 0, 0))],
@@ -581,7 +619,7 @@ def pallas_gather_main(stack, ym, xm, NY, NX, order,
         interpret=interp,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=112 * 1024 * 1024),
-    )(ay, ax, ymc, xmc, stackp)
+    )(ay, ax, alive, ymc, xmc, stackp)
     exmby, eypbx = outs[0].reshape(N), outs[1].reshape(N)
     rest = jnp.stack([o.reshape(N) for o in outs[2:]], axis=-1)
 

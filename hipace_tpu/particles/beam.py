@@ -663,25 +663,55 @@ def _beam_cell_pos(x, y, mask, geom: Geometry):
     return ym, xm
 
 
-def _stripe_key(ym, xm, geom: Geometry, h: int):
+def _stripe_key(ym, xm, geom: Geometry, h: int, S: int = 0):
     """Stripe-snake sort key over guard-offset cell positions (same order
     as step.py _row_sort): stripes of h rows, x-ascending boustrophedon.
-    Sentinel positions land beyond every live stripe."""
+    Sentinel positions land beyond every live stripe.
+
+    With S > 0 the key implements STRIPE-ALIGNED chunking: sentinel lanes
+    are assigned gap-fill keys that land exactly after each stripe's live
+    lanes, padding every stripe's population to a multiple of S. A
+    sub-chunk of S consecutive sorted lanes then never spans two stripes,
+    so the pallas window W >= h + taps + 7 covers EVERY lane at sort time
+    even for sparse stripes (gaussian beam edges span hundreds of rows per
+    512 lanes otherwise, which forced the slow exact corrective pass on
+    every subcycle). If the array runs out of sentinel lanes the later
+    stripes simply stay unpadded and the corrective pass restores
+    exactness — graceful, never wrong."""
     NY, NX = geom.slice_shape
     row = jnp.clip(jnp.floor(ym).astype(jnp.int32), 0, 2 * NY)
     col = jnp.clip(jnp.floor(xm).astype(jnp.int32), 0, NX)
     stripe = row // h
     colkey = jnp.where(stripe % 2 == 0, col, NX - col)
-    return stripe * (NX + 2) + colkey
+    live = ym < 1.5 * NY
+    key = stripe * (NX + 2) + colkey
+    if S <= 0:
+        return key
+    NS = (2 * NY) // h + 1
+    sids = jnp.arange(NS, dtype=jnp.int32)
+    counts = jnp.sum((stripe[None, :] == sids[:, None])
+                     & live[None, :], axis=1)
+    pad = (-counts) % S
+    cum_pad = jnp.cumsum(pad)
+    # rank of each sentinel lane among sentinels (original order)
+    srank = jnp.cumsum(~live) - 1
+    fill_stripe = jnp.searchsorted(cum_pad, srank, side="right")
+    fill_stripe = jnp.minimum(fill_stripe, NS - 1).astype(jnp.int32)
+    has_slot = srank < cum_pad[-1]
+    tail = (NS + 1) * (NX + 2)
+    fill_key = jnp.where(has_slot,
+                         fill_stripe * (NX + 2) + (NX + 1), tail)
+    return jnp.where(live, key, fill_key)
 
 
-def sort_beam_slice(bp: dict, geom: Geometry, h: int) -> dict:
+def sort_beam_slice(bp: dict, geom: Geometry, h: int, S: int = 0) -> dict:
     """Stripe-snake sort a beam slice dict for the banded kernels. Every
     attribute rides the multi-operand lax.sort (argsort + gather is ~17x
     slower on TPU). Lane order within a slice carries no meaning (the
-    reference reorders too, BeamParticleContainer.H:255-258)."""
+    reference reorders too, BeamParticleContainer.H:255-258). S > 0
+    stripe-aligns the chunking (see _stripe_key)."""
     ym, xm = _beam_cell_pos(bp["x"], bp["y"], bp["valid"], geom)
-    key = _stripe_key(ym, xm, geom, h)
+    key = _stripe_key(ym, xm, geom, h, S)
     names = sorted(bp)
     res = jax.lax.sort([key] + [bp[n] for n in names], num_keys=1)
     return dict(zip(names, res[1:]))
@@ -705,7 +735,7 @@ def advance_all_beams(bp: dict, fields: dict, geom: Geometry, cfgs,
                 time=time, background_density_SI=background_density_SI,
                 fine_levels=fine_levels))
     if banded is not None:
-        bp = sort_beam_slice(bp, geom, banded.h)
+        bp = sort_beam_slice(bp, geom, banded.h, banded.S)
     out = bp
     for b, cfg in enumerate(cfgs):
         mask = (bp["beam_id"] == b) if len(cfgs) > 1 else None
@@ -1012,7 +1042,7 @@ def deposit_beam_slice(bp: dict, comp_map: dict, fields: dict,
             from ..ops.banded import dispatch_deposit
             NY, NX = geom.slice_shape
             ym, xm = _beam_cell_pos(bp["x"], bp["y"], mask, geom)
-            key = _stripe_key(ym, xm, geom, banded.h)
+            key = _stripe_key(ym, xm, geom, banded.h, banded.S)
             res = jax.lax.sort([key, ym, xm] + vals, num_keys=1)
             stack, _lost = dispatch_deposit(stack, res[1], res[2],
                                             list(res[3:]), banded,

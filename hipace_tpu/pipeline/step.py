@@ -227,14 +227,15 @@ class SimConfig:
     pallas_WXS: int = 256
     pallas_h: int = 8
     pallas_precision: str = "bf16x3"
-    # beam banded kernels (pallas backend only): the beam is transversely
-    # tight (a few hundred rows), so sparse head/tail sub-chunks span more
-    # rows than a plasma sub-chunk would — a wider window (W=64, h=24)
-    # keeps them off the corrective scatter. Replaces the XLA scatter
-    # deposits (~5.5 ms/slice at 1023^2) and per-subcycle XLA gathers
-    # (~9 ms/slice for 10 subcycles) measured in the round-3 profile.
-    beam_pallas_W: int = 64
-    beam_pallas_h: int = 24
+    # beam banded kernels (pallas backend only). Beam slices are sparse
+    # (gaussian edges: 512 consecutive sorted lanes can span hundreds of
+    # rows), so the beam sort uses STRIPE-ALIGNED chunking (beam.py
+    # _stripe_key with S > 0): sentinel lanes gap-fill each stripe to a
+    # multiple of S, no sub-chunk ever spans two stripes, and W >= h +
+    # taps + 7 covers every lane at sort time. Dead sub-chunks skip the
+    # kernel body, so the ~6x capacity/occupancy waste costs ~nothing.
+    beam_pallas_W: int = 32
+    beam_pallas_h: int = 16
     # beam lanes processed per while_loop chunk: per-slice cost scales with
     # occupancy instead of the peak-sized capacity (~6x waste for a
     # gaussian beam). 0 = whole-capacity processing — the DEFAULT, because

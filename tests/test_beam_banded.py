@@ -167,3 +167,59 @@ diagnostic.output_period = 0
         p = np.sort(np.array(pb[k])[np.array(pb["valid"])])
         np.testing.assert_allclose(p, r, rtol=2e-13, atol=1e-13,
                                    err_msg=k)
+
+
+def test_stripe_aligned_sort_no_overflow():
+    """With S > 0 the stripe-snake sort gap-fills every stripe to a
+    multiple of S, so no sub-chunk spans two stripes and the pallas
+    y-overflow mask is empty at sort time — even for a sparse gaussian
+    beam whose edge stripes hold far fewer than S lanes (the case that
+    forced the corrective pass on every subcycle)."""
+    from hipace_tpu.ops.pallas_banded import _anchors_wide, _pad_shape
+    geom = _geom(nxy=256)
+    h, S, W = 16, 128, 32
+    cap = 8192
+    bp = _make_beam(3, 900, cap, geom, tight=True)
+    out = bm.sort_beam_slice(bp, geom, h, S)
+    ym, xm = bm._beam_cell_pos(out["x"], out["y"], out["valid"], geom)
+    NY, NX = geom.slice_shape
+    NYP, NXP = _pad_shape(NY, NX)
+    _ay, _ax, ywide, alive = _anchors_wide(
+        ym, xm, NYP, NXP, 2, 1, W, min(256, NXP), S)
+    assert int(jnp.sum(ywide)) == 0
+    # each live sub-chunk holds lanes of exactly one stripe
+    stripes = jnp.where(ym < 1.5 * NY,
+                        jnp.clip(jnp.floor(ym).astype(int), 0,
+                                 2 * NY) // h, -1).reshape(-1, S)
+    for c in range(stripes.shape[0]):
+        s = np.asarray(stripes[c])
+        s = s[s >= 0]
+        assert len(np.unique(s)) <= 1
+    # the tail chunks are flagged dead (occupancy skipping)
+    assert int(jnp.sum(alive)) < stripes.shape[0]
+    # sort is a permutation: no lane lost or duplicated
+    np.testing.assert_allclose(
+        np.sort(np.asarray(out["x"])), np.sort(np.asarray(bp["x"])))
+
+
+def test_stripe_aligned_sort_pad_exhaustion_stays_exact():
+    """When there are not enough sentinel lanes to gap-fill every stripe,
+    alignment degrades but deposits stay exact (corrective pass)."""
+    from hipace_tpu.ops.banded import dispatch_deposit
+    geom = _geom(nxy=128)
+    h, S = 16, 512
+    cap = 1024                    # nearly full: 1000 live, 24 sentinels
+    bp = _make_beam(5, 1000, cap, geom, tight=False)
+    opts = OPTS._replace(W=32, h=h, S=S)
+    out = bm.sort_beam_slice(bp, geom, h, S)
+    ym, xm = bm._beam_cell_pos(out["x"], out["y"], out["valid"], geom)
+    NY, NX = geom.slice_shape
+    vals = [jnp.where(out["valid"], out["w"], 0.0)]
+    F0 = jnp.zeros((1, NY, NX), jnp.float64)
+    got, _ = dispatch_deposit(F0, ym, xm, vals, opts, NY, NX, 2)
+    # exact reference: plain scatter
+    from hipace_tpu.ops.deposit import deposit_multi
+    ref = deposit_multi(jnp.zeros((1, NY, NX), jnp.float64),
+                        out["x"], out["y"], vals, geom, 2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-12, atol=1e-12)

@@ -125,7 +125,8 @@ def test_pallas_deposit_corrective_pass_clumped():
                                               _pad_shape)
     NYP, NXP = _pad_shape(NY, NX)
     S, WXS = 256, min(64, NXP)
-    ay, ax, _yw = _anchors_wide(ym, xm, NYP, NXP, order, -1, 32, WXS, S)
+    ay, ax, _yw, _alive = _anchors_wide(ym, xm, NYP, NXP, order, -1,
+                                        32, WXS, S)
     relx = _i0(xm.reshape(-1, S), order, -1) - ax[:, None]
     live = ym.reshape(-1, S) < 1.5 * NYP
     assert int(jnp.sum(live & ((relx < 0) | (relx + 3 > WXS)))) > 0
