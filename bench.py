@@ -31,7 +31,7 @@ import jax.numpy as jnp
 ROUND1_BASELINE = 27.677  # slices/s, BENCH_r01.json
 
 
-def _probe_backend(timeout=45):
+def _probe_backend(timeout=100):
     """The tunneled TPU backend can go UNAVAILABLE and then jax.devices()
     HANGS (not raises); probe in a subprocess so the bench fails fast
     (<60 s) with an explanatory record instead of hanging the driver."""

@@ -127,6 +127,15 @@ def _pad_shape(NY, NX):
     return ((NY + 7) // 8) * 8, ((NX + 127) // 128) * 128
 
 
+def live_threshold(NY):
+    """Live-lane predicate threshold: lanes with guard-offset cell position
+    ym below this are treated as live. Shared by the kernels
+    (_anchors_wide / kernel bodies, which see PADDED grids) and the
+    stripe-sort key builders (beam.py _stripe_key), so sort-time
+    classification and in-kernel classification can never disagree."""
+    return 1.5 * _pad_shape(NY, 1)[0]
+
+
 def _superchunk(N, S):
     """Largest multiple of S that divides N, capped at 16*S (corrective
     pass granularity)."""
@@ -243,11 +252,12 @@ def _deposit_kernel(ay_ref, ax_ref, alive_ref, ym_ref, xm_ref, *refs,
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    ay = ay_ref[i]
-    ax = ax_ref[i]
-
     @pl.when(alive_ref[i] > 0)
     def _():
+        # anchors read inside the gate: dead sub-chunks skip even the
+        # scalar loads
+        ay = ay_ref[i]
+        ax = ax_ref[i]
         _deposit_body(ay, ax, ym_ref, xm_ref, val_refs, out_ref,
                       blocks=blocks, order=order, deriv_type=deriv_type,
                       W=W, WXS=WXS, S=S, NYP=NYP, NXP=NXP,
@@ -495,8 +505,6 @@ def _gather_main_kernel(ay_ref, ax_ref, alive_ref, ym_ref, xm_ref,
                         precision, interpret):
     i = pl.program_id(0)
     out_refs = (exmby_ref, eypbx_ref, ez_ref, bx_ref, by_ref, bz_ref)
-    ay = ay_ref[i]
-    ax = ax_ref[i]
 
     @pl.when(alive_ref[i] == 0)
     def _():
@@ -505,6 +513,8 @@ def _gather_main_kernel(ay_ref, ax_ref, alive_ref, ym_ref, xm_ref,
 
     @pl.when(alive_ref[i] > 0)
     def _():
+        ay = ay_ref[i]
+        ax = ax_ref[i]
         _gather_main_body(ay, ax, ym_ref, xm_ref, stack_ref,
                           out_refs, order=order, W=W, WXS=WXS, S=S,
                           NYP=NYP, NXP=NXP, precision=precision,

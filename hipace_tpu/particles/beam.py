@@ -678,19 +678,23 @@ def _stripe_key(ym, xm, geom: Geometry, h: int, S: int = 0):
     every subcycle). If the array runs out of sentinel lanes the later
     stripes simply stay unpadded and the corrective pass restores
     exactness — graceful, never wrong."""
+    from ..ops.pallas_banded import live_threshold
     NY, NX = geom.slice_shape
     row = jnp.clip(jnp.floor(ym).astype(jnp.int32), 0, 2 * NY)
     col = jnp.clip(jnp.floor(xm).astype(jnp.int32), 0, NX)
     stripe = row // h
     colkey = jnp.where(stripe % 2 == 0, col, NX - col)
-    live = ym < 1.5 * NY
+    # the SAME live predicate the kernels use (ym < 1.5 * padded NY):
+    # a lane classified as gap-fill here must also be dead in-kernel,
+    # else it lands in an arbitrary stripe and forces the corrective pass
+    live = ym < live_threshold(NY)
     key = stripe * (NX + 2) + colkey
     if S <= 0:
         return key
     NS = (2 * NY) // h + 1
-    sids = jnp.arange(NS, dtype=jnp.int32)
-    counts = jnp.sum((stripe[None, :] == sids[:, None])
-                     & live[None, :], axis=1)
+    # O(N) per-stripe live counts (stripe is bounded by NS - 1)
+    counts = jnp.zeros((NS,), jnp.int32).at[stripe].add(
+        live.astype(jnp.int32))
     pad = (-counts) % S
     cum_pad = jnp.cumsum(pad)
     # rank of each sentinel lane among sentinels (original order)

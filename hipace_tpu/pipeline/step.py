@@ -234,7 +234,13 @@ class SimConfig:
     # multiple of S, no sub-chunk ever spans two stripes, and W >= h +
     # taps + 7 covers every lane at sort time. Dead sub-chunks skip the
     # kernel body, so the ~6x capacity/occupancy waste costs ~nothing.
-    beam_pallas_W: int = 32
+    # W = 64 (not the plasma's 32): a gaussian beam's EDGE stripes need
+    # more gap-fill than the sentinel pool provides, so late stripes run
+    # unpadded and chunks straddle 2-3 stripes. W = 64 covers a 3-stripe
+    # span (3h + taps + 7 = 59) and keeps the corrective pass off the
+    # subcycled-gather hot path: measured 4x faster beam advance at the
+    # 1023^2 bench than W=32 (20 ms -> 5 ms incl. dispatch).
+    beam_pallas_W: int = 64
     beam_pallas_h: int = 16
     # beam lanes processed per while_loop chunk: per-slice cost scales with
     # occupancy instead of the peak-sized capacity (~6x waste for a

@@ -20,7 +20,7 @@ def backend_known_safe() -> bool:
     return os.environ.get("JAX_PLATFORMS", "").split(",")[0] == "cpu"
 
 
-def probe_backend(timeout: float = 45.0) -> bool:
+def probe_backend(timeout: float = 100.0) -> bool:
     """Probe the default jax backend in a subprocess; False if it hangs
     or errors. Cheap shortcut when JAX_PLATFORMS=cpu."""
     if backend_known_safe():
