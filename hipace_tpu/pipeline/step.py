@@ -224,7 +224,10 @@ class SimConfig:
     # dynamic lane offsets), sort stripe height (W >= 2h + taps + 7),
     # MXU f32 mode ("bf16x3" ~2e-6 rel | "highest" 6-pass | "bf16")
     pallas_S: int = 512
-    pallas_WXS: int = 256
+    # x-window width: 128 measured best at 1023^2 (the VPU weight build +
+    # MXU dot scale with WXS; the in-kernel full-row fallback covers the
+    # rare chunks a narrow window misses). 27.7 vs 25.1 slices/s at 256.
+    pallas_WXS: int = 128
     pallas_h: int = 8
     pallas_precision: str = "bf16x3"
     # beam banded kernels (pallas backend only). Beam slices are sparse
