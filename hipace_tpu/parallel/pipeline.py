@@ -120,14 +120,27 @@ def make_pipelined_evolve(cfg, dtype, n_devices: int, beam_cap: int,
 
         plasmas = init_plasmas(key, cfg.pc.c * time_d)
         fields = init_field_state(cfg, dtype)
-        # neutralizing background
+        # neutralizing background; pre-sort + banded path exactly like the
+        # serial driver (pipeline/simulation.py _time_step)
         from ..particles import plasma as pl
+        from ..pipeline.step import _banded_opts, _row_sort
+        banded = _banded_opts(cfg)
+        if banded is not None:
+            if banded.backend == "pallas":
+                stripe_h = cfg.pallas_h
+            else:
+                stripe_h = (max(1, (cfg.banded_W - 8) // 2)
+                            if cfg.banded_WX < g.slice_shape[1] else 0)
+            static_ion = not any(pcf.can_ionize for pcf in cfg.plasmas)
+            plasmas = [_row_sort(p, g, stripe_h, static_ion)
+                       for p in plasmas]
         rhom = fields["RhomJzIons"]["rhomjz"]
         for p, pcfg in zip(plasmas, cfg.plasmas):
             if pcfg.neutralize_background:
                 tmp, _ = pl.deposit_plasma(
                     p, ["rhomjz"], {"rhomjz": rhom}, g, pcfg, cfg.pc,
-                    cfg.depos_order_xy, cfg.normalized_units, flip_charge=True)
+                    cfg.depos_order_xy, cfg.normalized_units,
+                    flip_charge=True, banded=banded)
                 rhom = tmp["rhomjz"]
         fields = dict(fields, RhomJzIons={"rhomjz": rhom})
         # fine-level neutralizing background (same as the serial driver)

@@ -699,8 +699,13 @@ def _stripe_key(ym, xm, geom: Geometry, h: int, S: int = 0):
     cum_pad = jnp.cumsum(pad)
     # rank of each sentinel lane among sentinels (original order)
     srank = jnp.cumsum(~live) - 1
-    fill_stripe = jnp.searchsorted(cum_pad, srank, side="right")
-    fill_stripe = jnp.minimum(fill_stripe, NS - 1).astype(jnp.int32)
+    # first stripe whose cumulative pad exceeds the rank. NS is small
+    # (~NY/h), so a broadcast comparison sum is ~0.01 ms on the VPU where
+    # jnp.searchsorted lowers to a while_loop of gathers (~0.8 ms/call
+    # measured at 14k lanes on v5e)
+    fill_stripe = jnp.sum(cum_pad[None, :] <= srank[:, None],
+                          axis=1, dtype=jnp.int32)
+    fill_stripe = jnp.minimum(fill_stripe, NS - 1)
     has_slot = srank < cum_pad[-1]
     tail = (NS + 1) * (NX + 2)
     fill_key = jnp.where(has_slot,

@@ -634,7 +634,8 @@ def _pc_bxby_solve(f, plasmas, beam_next, cfg: SimConfig, solver, ob=None,
 
 
 # ----------------------------------------------------------------------
-def _row_sort(p: dict, geom: Geometry, stripe_h: int = 0):
+def _row_sort(p: dict, geom: Geometry, stripe_h: int = 0,
+              static_ion_lev: bool = False):
     """Sort a plasma SoA by current transverse row (the TPU equivalent of the
     reference's ReorderParticles, ref particles/sorting/...). Invalid lanes
     sink to the tail so they never widen a banded window.
@@ -645,13 +646,18 @@ def _row_sort(p: dict, geom: Geometry, stripe_h: int = 0):
     so a K-chunk spans <= 2 stripes in y AND a contiguous x range — it
     fits a (W, WX) window with W >= 2*stripe_h + taps.
 
-    Multi-operand lax.sort: every per-particle attribute rides along as a
-    sort operand, so ion_lev (ionization), pid, and the 25 AB5 force-history
-    slots stay consistent under banded kernels. (argsort + per-attribute
-    jnp.take measures 17x SLOWER on TPU — XLA lowers the 1M-element random
-    gather to ~20 ns/elem — so the multi-operand form is the fast path.)
-    Skips x_prev/y_prev (equal to x/y at slice start — the non-temp push
-    syncs them)."""
+    Multi-operand lax.sort: per-particle attributes ride along as sort
+    operands, so pid and the 25 AB5 force-history slots stay consistent
+    under banded kernels. (argsort + per-attribute jnp.take measures 17x
+    SLOWER on TPU — XLA lowers the 1M-element random gather to ~20 ns/elem
+    — so the multi-operand form is the fast path.) Sort payload is the
+    dominant cost after the ~2.5 ms fixed sort cost (~0.55 ms per 1M-f32
+    operand on v5e), so attributes that need not ride are dropped:
+    x_prev/y_prev (equal to x/y at slice start — the non-temp push syncs
+    them), valid (the key maps valid lanes strictly below the sentinel, so
+    it is reconstructed exactly as sorted_key < sentinel), and ion_lev when
+    static_ion_lev (no species in the sim ionizes: ion_lev is the constant
+    1 for every lane, ref PlasmaParticleContainer init)."""
     NY, NX = geom.slice_shape
     ym = (p["y"] - geom.y_pos_offset) / geom.dy
     key = jnp.clip(jnp.floor(ym).astype(jnp.int32) + geom.nguards, 0, NY)
@@ -665,9 +671,15 @@ def _row_sort(p: dict, geom: Geometry, stripe_h: int = 0):
         key = stripe * (NX + 2) + colkey
         sentinel = (NY // stripe_h + 1) * (NX + 2)
     key = jnp.where(p["valid"], key, sentinel)
-    names = sorted(n for n in p if n not in ("x_prev", "y_prev"))
+    skip = {"x_prev", "y_prev", "valid"}
+    if static_ion_lev and "ion_lev" in p:
+        skip.add("ion_lev")
+    names = sorted(n for n in p if n not in skip)
     res = jax.lax.sort([key] + [p[n] for n in names], num_keys=1)
     out = dict(zip(names, res[1:]))
+    out["valid"] = res[0] < sentinel
+    if static_ion_lev and "ion_lev" in p:
+        out["ion_lev"] = p["ion_lev"]   # constant per lane, order-free
     out["x_prev"] = out["x"]
     out["y_prev"] = out["y"]
     return out
@@ -825,15 +837,20 @@ def make_slice_step(cfg: SimConfig, dtype):
             else:
                 stripe_h = (max(1, (cfg.banded_W - 8) // 2)
                             if cfg.banded_WX < g.slice_shape[1] else 0)
+            # when no species ionizes, ion_lev is a constant 1 for every
+            # lane and need not ride the sort (saves one 1M-f32 operand)
+            static_ion = not any(pcfg.can_ionize for pcfg in cfg.plasmas)
             if cfg.banded_sort_period > 1:
                 do_sort = (islice % cfg.banded_sort_period) == 0
                 plasmas = [jax.lax.cond(do_sort,
                                         lambda ps: _row_sort(ps, g,
-                                                             stripe_h),
+                                                             stripe_h,
+                                                             static_ion),
                                         lambda ps: ps, p)
                            for p in plasmas]
             else:
-                plasmas = [_row_sort(p, g, stripe_h) for p in plasmas]
+                plasmas = [_row_sort(p, g, stripe_h, static_ion)
+                           for p in plasmas]
 
         # ---- MR: fine InitializeSlices (ref Fields.cpp:541-557) + flags
         if mr:

@@ -53,6 +53,30 @@ def test_dirichlet_poisson_batched():
             _fd_laplacian_dirichlet(u[b], 0.5, 0.5), rhs[b], rtol=1e-8, atol=1e-8)
 
 
+def test_dirichlet_poisson_matmul_bf16x3():
+    """The TPU production path (variant="matmul", f32) runs the DST as
+    pre-split bf16x3 sine matmuls; pin its solve error vs the f64 FFT
+    path (measured ~1.3e-5 relative at 127^2 — the same f32-emulation
+    envelope as ops/pallas_banded.py)."""
+    ny = nx = 127
+    dx, dy = 0.1, 0.1
+    rng = np.random.default_rng(7)
+    rhs = rng.standard_normal((3, ny, nx))
+    ref = DirichletPoissonSolver(nx, ny, dx, dy, dtype=jnp.float64).solve(
+        jnp.asarray(rhs))
+    mm = DirichletPoissonSolver(nx, ny, dx, dy, dtype=jnp.float32,
+                                variant="matmul")
+    u = mm.solve(jnp.asarray(rhs, jnp.float32))
+    err = float(jnp.max(jnp.abs(u - ref.astype(jnp.float32)))
+                / jnp.max(jnp.abs(ref)))
+    assert err < 5e-5, err
+    # f64 matmul keeps the exact einsum path
+    mm64 = DirichletPoissonSolver(nx, ny, dx, dy, dtype=jnp.float64,
+                                  variant="matmul")
+    u64 = mm64.solve(jnp.asarray(rhs))
+    np.testing.assert_allclose(np.asarray(u64), np.asarray(ref), rtol=1e-9)
+
+
 def test_periodic_poisson():
     ny, nx = 32, 32
     dx = dy = 0.3

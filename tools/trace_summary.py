@@ -42,6 +42,8 @@ def summarize(trace_dir: str, top: int = 40):
             lanes[(e["pid"], e.get("tid"))].append(e)
     tot = defaultdict(float)
     cnt = defaultdict(int)
+    src_tot = defaultdict(float)
+    src_cnt = defaultdict(int)
     for lane in lanes.values():
         lane.sort(key=lambda e: (e["ts"], -e.get("dur", 0.0)))
         stack = []          # entries [end_ts, child_dur_acc, event]
@@ -56,8 +58,12 @@ def summarize(trace_dir: str, top: int = 40):
             cnt[e.get("name", "?")] += 1
         done.extend(stack)
         for end, child_dur, e in done:
-            tot[e.get("name", "?")] += max(
-                0.0, e.get("dur", 0.0) - child_dur)
+            self_us = max(0.0, e.get("dur", 0.0) - child_dur)
+            tot[e.get("name", "?")] += self_us
+            src = e.get("args", {}).get("source", "?")
+            src = src.replace("/root/repo/tools/../", "")
+            src_tot[src] += self_us
+            src_cnt[src] += 1
     items = sorted(tot.items(), key=lambda kv: -kv[1])
     total = sum(tot.values())
     print(f"{'op':60s} {'ms':>10s} {'count':>8s} {'%':>6s}")
@@ -65,6 +71,11 @@ def summarize(trace_dir: str, top: int = 40):
         print(f"{name[:60]:60s} {us / 1e3:10.2f} {cnt[name]:8d} "
               f"{100 * us / max(total, 1):6.1f}")
     print(f"{'TOTAL device':60s} {total / 1e3:10.2f}")
+    # ---- grouped by python source line (from XLA op metadata)
+    print(f"\n{'source line':60s} {'ms':>10s} {'count':>8s} {'%':>6s}")
+    for src, us in sorted(src_tot.items(), key=lambda kv: -kv[1])[:top]:
+        print(f"{src[-60:]:60s} {us / 1e3:10.2f} {src_cnt[src]:8d} "
+              f"{100 * us / max(total, 1):6.1f}")
 
 
 def main():
