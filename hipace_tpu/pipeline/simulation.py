@@ -96,6 +96,26 @@ class Simulation:
         self.plasma_cfgs = tuple(plasma_cfgs)
         self.ionization_pairs = tuple(ionization_pairs)
 
+        # MR at >= 2x refinement with only coarse-spaced plasma aliases the
+        # fine-level charge so badly the wake can invert (1 coarse ppc
+        # lands in 1 of every ratio^2 fine cells); the reference's fine
+        # plasma patch exists for this (ref PlasmaParticleContainerInit
+        # .cpp:95-160). Warn — same silent behavior as the reference, but
+        # the footgun is too sharp to leave unflagged.
+        if self.mr_levels and self.plasma_cfgs and not any(
+                p.fine_patch_expr for p in self.plasma_cfgs):
+            ratio = self.geom.dx / min(lv.geom.dx for lv in self.mr_levels)
+            if ratio >= 2.0:
+                import sys as _sys
+                print(
+                    "WARNING: mesh refinement at >=2x without any "
+                    "plasma.fine_patch/fine_ppc: the fine-level plasma "
+                    "charge will be aliased (1 coarse ppc per "
+                    f"~{ratio * ratio:.0f} fine cells) and in-patch "
+                    "fields unreliable. Define <plasma>.fine_patch(x,y) "
+                    "and <plasma>.fine_ppc covering the patch.",
+                    file=_sys.stderr)
+
         beam_names = inputs.query_list("beams.names", [], str)
         if beam_names == ["no_beam"]:
             beam_names = []

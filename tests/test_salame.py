@@ -98,7 +98,13 @@ def test_salame_with_mr():
     The witness-slice Ez must still flatten, and the fine fields stay
     finite."""
     mr = ["amr.max_level=1", "mr_lev1.n_cell=32 32",
-          "mr_lev1.patch_lo=-2. -2. -7.", "mr_lev1.patch_hi=2. 2. 5."]
+          "mr_lev1.patch_lo=-2. -2. -7.", "mr_lev1.patch_hi=2. 2. 5.",
+          # the fine plasma patch is REQUIRED at 4x refinement: 1 coarse
+          # ppc spread over 4x4 fine cells aliases the fine-level charge
+          # so badly the wake inverts (ref PlasmaParticleContainerInit.cpp
+          # fine-patch init exists exactly for this)
+          "plasma.fine_patch(x,y)=(abs(x)<2.3)*(abs(y)<2.3)",
+          "plasma.fine_ppc=4 4"]
     line_s, zeta, res, _sim = _run(mr)
     line_n, _, _, _ = _run(mr + ["witness.do_salame=0"])
     assert np.isfinite(np.asarray(res["diag"])).all()
