@@ -83,6 +83,10 @@ class Inputs:
         self._raw: dict[str, str] = {}
         # function entries: base key -> (argnames, expression)
         self._funcs: dict[str, tuple[tuple[str, ...], str]] = {}
+        # every key the code has asked for (present in the deck or not):
+        # the runtime parameter surface, consumed by the doc-completeness
+        # test (tests/test_parameter_docs.py). Function-valued parameters
+        # are recorded with a "()" suffix.
         self._queried: set[str] = set()
         if text:
             self._parse_text(text)
@@ -196,19 +200,21 @@ class Inputs:
         return key in self._raw or key in self._funcs
 
     def raw(self, key: str, default: str | None = None) -> str | None:
+        self._queried.add(key)
         if key in self._raw:
-            self._queried.add(key)
             return self._raw[key]
         return default
 
     def get(self, key: str, dtype=float):
         """Get a single typed value; raises if missing."""
+        self._queried.add(key)
         if key not in self._raw:
             raise KeyError(f"Missing required input: {key}")
         return self._convert(self._raw[key], dtype)
 
     def query(self, key: str, default, dtype=None):
         """Get a single typed value with default."""
+        self._queried.add(key)
         if key not in self._raw:
             return default
         if dtype is None:
@@ -216,11 +222,13 @@ class Inputs:
         return self._convert(self._raw[key], dtype)
 
     def get_list(self, key: str, dtype=float) -> list:
+        self._queried.add(key)
         if key not in self._raw:
             raise KeyError(f"Missing required input: {key}")
         return [self._convert(tok, dtype) for tok in self._split(self._raw[key])]
 
     def query_list(self, key: str, default: list, dtype=None) -> list:
+        self._queried.add(key)
         if key not in self._raw:
             return list(default)
         if dtype is None:
@@ -252,7 +260,6 @@ class Inputs:
         return toks
 
     def _convert(self, tok: str, dtype):
-        self._queried.add(tok)
         if dtype is str:
             # {...} interpolation in string parameters: paste my_constants
             # or evaluate the braced expression (ref parameters.rst:37-38)
@@ -289,6 +296,7 @@ class Inputs:
         ``plasma.density(x,y,z) = 1.1*exp(-(x**2+y**2)/2)``.
         Returns None if absent and no default given.
         """
+        self._queried.add(key + "()")
         if key in self._funcs:
             args, expr = self._funcs[key]
         elif default is not None:
