@@ -138,15 +138,12 @@ def run_leg(case: str, cpu_f64: bool, timeout: int = 900):
     """Run one case in a subprocess; returns the sums dict or an error."""
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
-    if cpu_f64:
-        env["JAX_PLATFORMS"] = "cpu"
-        env["JAX_ENABLE_X64"] = "1"
-    else:
-        env.pop("JAX_PLATFORMS", None)
-        env.pop("JAX_ENABLE_X64", None)
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("JAX_ENABLE_X64", None)
     try:
         p = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--leg", case],
+            [sys.executable, os.path.abspath(__file__), "--leg", case]
+            + (["--cpu"] if cpu_f64 else []),
             capture_output=True, text=True, timeout=timeout, env=env,
             cwd=REPO)
     except subprocess.TimeoutExpired:
@@ -162,11 +159,20 @@ def run_leg(case: str, cpu_f64: bool, timeout: int = 900):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--leg", help="internal: run one case, print sums")
+    ap.add_argument("--cpu", action="store_true",
+                    help="internal: run the leg on CPU in fp64")
     ap.add_argument("--out", help="write the gate record to this file")
     ap.add_argument("--cases", nargs="*", help="case-name substrings")
     args = ap.parse_args()
 
     if args.leg:
+        if args.cpu:
+            # the container registers the axon TPU platform from
+            # sitecustomize; JAX_PLATFORMS alone does not exclude it
+            # (see tests/conftest.py) — force the config explicitly
+            import jax
+            jax.config.update("jax_platforms", "cpu")
+            jax.config.update("jax_enable_x64", True)
         import tempfile
         with tempfile.TemporaryDirectory() as td:
             print(json.dumps(case_sums(args.leg, os.path.join(td, "o"))))
