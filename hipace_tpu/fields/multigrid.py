@@ -230,14 +230,42 @@ class MultiGrid:
         return u
 
     # ------------------------------------------------------------------
+    def _fused(self, nchan: int):
+        from ..ops.pallas_mg import FusedMG
+        if not hasattr(self, "_fused_cache"):
+            self._fused_cache = {}
+        if nchan not in self._fused_cache:
+            self._fused_cache[nchan] = FusedMG(self, nchan)
+        return self._fused_cache[nchan]
+
     def solve(self, u0, rhs, acf, tol_rel=1e-4, tol_abs=0.0, max_iters=40,
-              nu1=2, nu2=2):
+              nu1=2, nu2=2, fused=None):
         """Solve Laplacian(u) - acf*u = rhs starting from u0.
 
         u0/rhs may have a leading batch axis ((2, ny, nx) for Bx,By with
         shared acf, as in hpmg solve1). acf is (ny, nx), scalar, or complex.
         lax.while_loop with max-norm convergence matching hpmg
-        (ref: HpMultiGrid.cpp:1308-1380)."""
+        (ref: HpMultiGrid.cpp:1308-1380).
+
+        fused=None auto-selects the single-kernel Pallas solve
+        (ops/pallas_mg.py: whole V-cycle ladder VMEM-resident — the TPU
+        analogue of hpmg's fused shared-memory GSRB kernels) on TPU for
+        real node-centered systems; HIPACE_MG_FUSED=0/1 overrides. The
+        complex laser system and cell-centered grids keep this XLA path."""
+        if fused is None:
+            import os
+            env = os.environ.get("HIPACE_MG_FUSED", "")
+            fused = (jax.default_backend() == "tpu"
+                     and not self.cell_centered
+                     and not jnp.iscomplexobj(u0)
+                     and not jnp.iscomplexobj(jnp.asarray(acf))
+                     if env == "" else env not in ("0", "off", "false"))
+        if fused and not self.cell_centered and not jnp.iscomplexobj(u0):
+            nchan = u0.shape[0] if u0.ndim == 3 else 1
+            return self._fused(nchan).solve(
+                u0, rhs, acf, tol_rel=tol_rel, tol_abs=tol_abs,
+                max_iters=max_iters, nu1=nu1, nu2=nu2,
+                interpret=jax.default_backend() != "tpu")
         acfs = self._coarsen_acf(acf)
 
         res0 = rhs - self.apply_op(u0, acfs[0], 0)

@@ -62,16 +62,26 @@ def _roll(arr, shift: int, axis: int, interpret: bool):
 def _mg_kernel(target_ref, u_ref, rhs_ref, *args, L, facs, nu1, nu2,
                coarse_sweeps, max_iters, C, interpret):
     """One pallas call = the full solve. refs layout:
-    invd[0..L-1], dma[0..L-1], Ry[0..L-2], Rx[0..L-2],
-    interior[0..L-1], cmask_red[0..L-1], cmask_black[0..L-1]."""
+    invd[0..L-1], dma[0..L-1], Ry[0..L-2], Rx[0..L-2].
+
+    Interior and checkerboard masks are synthesized in-kernel (interior
+    from invd != 0 — invd is zero-masked outside the domain and the
+    d == 0 guard keeps it nonzero inside — parity from broadcasted
+    iotas) instead of being passed as three per-level mask pyramids:
+    at 1023^2 those inputs cost ~16 MB of pinned single-buffered VMEM,
+    which pushed the whole ladder 2 MB past the 128 MB v5e budget."""
     refs, out_ref = args[:-1], args[-1]
     invd = [refs[i][:] for i in range(L)]
     dma = [refs[L + i][:] for i in range(L)]
     Ry = [refs[2 * L + i][:] for i in range(L - 1)]
     Rx = [refs[3 * L - 1 + i][:] for i in range(L - 1)]
-    interior = [refs[4 * L - 2 + i][:] for i in range(L)]
-    cred = [refs[5 * L - 2 + i][:] for i in range(L)]
-    cblack = [refs[6 * L - 2 + i][:] for i in range(L)]
+    interior = [iv != 0 for iv in invd]
+
+    def parity(lev):
+        ny, nx = invd[lev].shape
+        iy = jax.lax.broadcasted_iota(jnp.int32, (ny, nx), 0)
+        ix = jax.lax.broadcasted_iota(jnp.int32, (ny, nx), 1)
+        return (iy + ix) & 1
 
     def offdiag(u, lev):
         facx, facy = facs[lev]
@@ -82,14 +92,17 @@ def _mg_kernel(target_ref, u_ref, rhs_ref, *args, L, facs, nu1, nu2,
         return facx * (uW + uE) + facy * (uS + uN)
 
     def smooth(u, rhs, lev, sweeps):
+        par = parity(lev)
         for _ in range(sweeps):
-            for cmask in (cred[lev], cblack[lev]):
+            for color in (0, 1):
+                cmask = interior[lev] & (par == color)
                 upd = (rhs - offdiag(u, lev)) * invd[lev]
                 u = jnp.where(cmask, upd, u)
         return u
 
     def residual(u, rhs, lev):
-        return (rhs - offdiag(u, lev) - dma[lev] * u) * interior[lev]
+        return jnp.where(interior[lev],
+                         rhs - offdiag(u, lev) - dma[lev] * u, 0.0)
 
     def restrict(r, lev):
         # Ry @ r @ Rx^T per channel on the MXU
@@ -164,16 +177,10 @@ class FusedMG:
         self.pshapes = [( _pad_dim(ny, tile), _pad_dim(nx, 128))
                         for ny, nx in mg.shapes]
         self.interior = []
-        self.cred = []
-        self.cblack = []
         for (ny, nx), (pny, pnx) in zip(mg.shapes, self.pshapes):
             iy, ix = np.mgrid[0:pny, 0:pnx]
             inside = (iy < ny) & (ix < nx)
             self.interior.append(jnp.asarray(inside.astype(rdt)))
-            red = inside & ((ix + iy) % 2 == 0)
-            black = inside & ((ix + iy) % 2 == 1)
-            self.cred.append(jnp.asarray(red))
-            self.cblack.append(jnp.asarray(black))
         self.Ryp = []
         self.Rxp = []
         for lev in range(self.L - 1):
@@ -222,9 +229,7 @@ class FusedMG:
 
         u0p = self._pad(u0, 0)
         rhsp = self._pad(rhs, 0)
-        operands = ([target, u0p, rhsp] + invd + dma + self.Ryp + self.Rxp
-                    + [m.astype(dt) for m in self.interior]
-                    + list(self.cred) + list(self.cblack))
+        operands = [target, u0p, rhsp] + invd + dma + self.Ryp + self.Rxp
         kern = functools.partial(
             _mg_kernel, L=self.L,
             facs=self.facs, nu1=nu1, nu2=nu2, coarse_sweeps=coarse_sweeps,

@@ -40,6 +40,18 @@ def test_fused_matches_xla(ny, nx, nchan):
                                rtol=1e-4, atol=1e-7)
 
 
+def test_solve_fused_dispatch():
+    """MultiGrid.solve(fused=True) routes through the fused kernel
+    (interpret mode off-TPU) and matches the XLA path."""
+    ny = nx = 31
+    mg = MultiGrid(nx, ny, 0.05, 0.05, jnp.float64)
+    u0, rhs, acf = _problem(ny, nx, 2, seed=7)
+    ref = mg.solve(u0, rhs, acf, fused=False)
+    got = mg.solve(u0, rhs, acf, fused=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-7)
+
+
 def test_fused_scalar_acf_and_residual():
     ny = nx = 31
     mg = MultiGrid(nx, ny, 0.1, 0.1, jnp.float64)
