@@ -43,36 +43,46 @@ ABS_NOISE = 1e-5
 CASES = [
     # (benchmark json name, deck, overrides, rtol, skip_fields,
     #  skip_particles)
+    #
+    # rtol pinning: each deterministic case's rtol is ~3x the max_rel
+    # deviation measured in THIS environment (CPU x64, 2026-08, v r5;
+    # tools/measure_checksum_headroom.py — table in PARITY.md). Cases
+    # measured at max_rel=0 (every deviation under the abs noise floors)
+    # pin at 1e-5, twice the reference CI's own production tolerance
+    # (ref tests/production.SI.2Rank.sh:25-29 uses 5e-6). Cross-RNG
+    # cases (different random stream than the reference) keep
+    # statistical tolerances, noted per case.
     ("blowout_wake.Serial",
      f"{REF}/examples/blowout_wake/inputs_normalized",
-     [], 5e-3, (), False),
+     [], 1.5e-3, (), False),  # measured 4.8e-4 (Bz)
     ("linear_wake.normalized.1Rank",
      f"{REF}/examples/linear_wake/inputs_normalized",
-     ["diagnostic.field_data=all rho"], 5e-3, (), False),
+     ["diagnostic.field_data=all rho"], 1e-5, (), False),  # measured 0
     ("beam_in_vacuum.normalized.Serial",
      f"{REF}/examples/beam_in_vacuum/inputs_normalized",
      ["hipace.depos_order_xy=0", "diagnostic.field_data=all rho"],
-     5e-3, (), False),
+     5e-3, (), False),  # measured 1.6e-3 (By)
     # --- round 2 additions (ref tests/*.sh command lines) ---
     ("blowout_wake_explicit.2Rank",
      f"{REF}/examples/blowout_wake/inputs_normalized",
-     ["max_step=1"], 5e-3, SXSYCHI, False),
+     ["max_step=1"], 5e-4, SXSYCHI, False),  # measured 1.4e-4 (Ez)
     ("linear_wake.SI.1Rank",
      f"{REF}/examples/linear_wake/inputs_SI",
-     ["diagnostic.field_data=all rho"], 5e-3, (), False),
+     ["diagnostic.field_data=all rho"], 3e-5, (), False),  # meas 7.3e-6
     ("beam_in_vacuum.SI.Serial",
      f"{REF}/examples/beam_in_vacuum/inputs_SI",
      ["hipace.depos_order_xy=0", "diagnostic.field_data=all rho"],
-     5e-3, (), False),
+     1e-5, (), False),  # measured 0
     ("ion_motion.SI.1Rank",
      f"{REF}/examples/linear_wake/inputs_ion_motion_SI",
-     ["hipace.bxby_solver=explicit"], 5e-3, SXSYCHI, False),
+     ["hipace.bxby_solver=explicit"], 1e-3, SXSYCHI,
+     False),  # measured 3.4e-4 (Ez)
     # random beam + fields summing to ~1e-6 (the reference itself uses
     # rtol=1 on CUDA here, tests/radiation_reaction.1Rank.sh:14): sums
     # below ABS_NOISE are treated as noise-level
     ("radiation_reaction.1Rank",
      f"{REF}/examples/beam_in_vacuum/inputs_RR",
-     [], 2e-2, (), False),
+     [], 1.5e-2, (), False),  # cross-RNG; measured 5.0e-3 (beam.ux)
     ("grid_current.1Rank",
      f"{REF}/examples/beam_in_vacuum/inputs_normalized",
      ["amr.n_cell=32 32 32", "max_step=1", "hipace.depos_order_xy=0",
@@ -84,7 +94,7 @@ CASES = [
       "diagnostic.output_period=1", "beam.profile=gaussian",
       "beam.position_std=0.3 0.3 1.41", "beam.density=0.2",
       "beam.radius=1.", "beam.ppc=1 1 1"],
-     5e-3, (), False),
+     1e-5, (), False),  # measured 0
     ("beam_in_vacuum_open_boundary.normalized.1Rank",
      f"{REF}/examples/beam_in_vacuum/inputs_normalized",
      ["hipace.depos_order_xy=0", "hipace.bxby_solver=predictor-corrector",
@@ -93,7 +103,7 @@ CASES = [
       "boundary.field=Open", "boundary.particle=Absorbing",
       "geometry.prob_lo=-4. -4. -2.", "geometry.prob_hi=4. 4. 2.",
       "beam.position_mean=2. -1. 0.", "diagnostic.field_data=all rho"],
-     5e-3, (), False),
+     1e-5, (), False),  # measured 0
     ("laser_blowout_wake_explicit.1Rank",
      f"{REF}/examples/blowout_wake/inputs_normalized",
      ["max_step=0", "beams.names=no_beam",
@@ -101,7 +111,7 @@ CASES = [
       "lasers.names=laser", "lasers.lambda0=.8e-6", "laser.a0=4.5",
       "laser.position_mean=0. 0. 0", "laser.w0=4", "laser.L0=2",
       "amr.n_cell=128 128 100"],
-     5e-3, SXSYCHI, True),
+     3e-5, SXSYCHI, True),  # measured 9.8e-6 (Bx)
     ("laser_blowout_wake_explicit.SI.1Rank",
      f"{REF}/examples/blowout_wake/inputs_SI",
      ["max_step=0", "beams.names=no_beam",
@@ -110,21 +120,21 @@ CASES = [
       "lasers.names=laser", "lasers.lambda0=.8e-6", "laser.a0=4.5",
       "laser.position_mean=0. 0. 0", "laser.w0=4.*kp_inv",
       "laser.L0=2.*kp_inv", "amr.n_cell=128 128 100"],
-     5e-3, SXSYCHI, True),
+     2e-5, SXSYCHI, True),  # measured 3.7e-6 (Ez)
     # ionization draws use a different RNG stream than the reference;
     # the ionized population (and the fields it sources) agrees only
     # statistically (~1% at this deck's count)
     ("ionization.2Rank",
      f"{REF}/examples/blowout_wake/inputs_ionization_SI",
      ["hipace.dt=1e-12", "diagnostic.output_period=2", "max_step=2"],
-     5e-2, (), False),
+     5e-2, (), False),  # cross-RNG; measured 3.4e-2 (jy_beam)
     ("gaussian_linear_wake.normalized.1Rank",
      f"{REF}/examples/linear_wake/inputs_normalized",
      ["beam.profile=gaussian", "beam.zmin=-5.9", "beam.zmax=5.9",
       "beam.radius=10", "beam.position_mean=0. 0. 0",
       "beam.position_std=2 2 1.41", "geometry.prob_lo=-10. -10. -6",
       "geometry.prob_hi=10. 10. 6", "diagnostic.field_data=all rho"],
-     5e-3, (), False),
+     1e-5, (), False),  # measured 0
     ("gaussian_linear_wake.SI.1Rank",
      f"{REF}/examples/linear_wake/inputs_SI",
      ["beam.profile=gaussian", "beam.zmin=-59.e-6", "beam.zmax=59.e-6",
@@ -133,13 +143,13 @@ CASES = [
       "geometry.prob_lo=-100.e-6 -100.e-6 -60.e-6",
       "geometry.prob_hi=100.e-6 100.e-6 60.e-6",
       "diagnostic.field_data=all rho"],
-     5e-3, (), False),
+     3e-5, (), False),  # measured 7.3e-6 (Ez)
     # the script's checksum evaluates its LAST run: the SI deck with no
     # overrides (the tilted-beam runs only feed analysis.py). 100k random
     # draws from a different RNG stream: statistical rtol (ref uses .01)
     ("gaussian_weight.1Rank",
      f"{REF}/examples/gaussian_weight/inputs_SI",
-     [], 2e-2, (), False),
+     [], 2e-2, (), False),  # cross-RNG; measured 1.0e-2 (Sy)
     ("adaptive_time_step.1Rank",
      f"{REF}/examples/beam_in_vacuum/inputs_normalized",
      ["amr.n_cell=32 32 32", "max_step=20",
@@ -149,7 +159,7 @@ CASES = [
       "beams.external_E(x,y,z,t)=0. 0. .5*z", "hipace.dt=adaptive",
       "plasmas.adaptive_density=1",
       "hipace.nt_per_betatron=89.7597901025655"],
-     5e-3, (), False),
+     2e-6, (), False),  # measured 4.7e-7 (beam.uz)
     ("beam_evolution.1Rank",
      f"{REF}/examples/beam_in_vacuum/inputs_normalized",
      ["amr.n_cell=32 32 10", "max_step=20",
@@ -157,28 +167,30 @@ CASES = [
       "hipace.dt=3.", "diagnostic.output_period=20",
       "beam.density=1.e-8", "beam.radius=1.", "beam.ppc=4 4 1",
       "beams.external_E(x,y,z,t)=.5*x .5*y 0."],
-     5e-3, (), False),
+     1e-5, (), False),  # measured 0
     ("reset.2Rank",
      f"{REF}/examples/blowout_wake/inputs_normalized",
      ["max_step=2", "hipace.MG_tolerance_rel=1e-5"],
-     5e-3, (), False),
-    # collisions draw from a different RNG stream than the reference:
-    # statistical agreement only
+     5e-5, (), False),  # measured 1.4e-5 (Ez)
+    # collisions draw from a different RNG stream than the reference,
+    # but at these decks' densities the collisional kick barely moves
+    # the sums: measured deviations are deterministic-level, pinned
+    # with extra slack for benign draw-order changes
     ("collisions.SI.1Rank",
      f"{REF}/examples/blowout_wake/inputs_SI",
      ["hipace.collisions=collision1", "collision1.species=plasma plasma"],
-     5e-2, (), False),
+     1e-3, (), False),  # measured 2.5e-4 (Sx)
     ("collisions_beam.SI.1Rank",
      f"{REF}/examples/blowout_wake/inputs_SI",
      ["hipace.collisions=collision1", "collision1.species=beam plasma"],
-     5e-2, (), False),
+     1e-3, (), False),  # measured 1.4e-4 (Ez)
     # same command line as blowout_wake_explicit.2Rank (the reference's
     # two JSONs are byte-identical); the script's second leg also runs
     # plasmas.reorder_period=4, exercised here via the sort-period map
     ("blowout_wake.2Rank",
      f"{REF}/examples/blowout_wake/inputs_normalized",
      ["max_step=1", "plasmas.reorder_period=4", "hipace.use_banded=1"],
-     5e-3, SXSYCHI, False),
+     5e-4, SXSYCHI, False),  # measured 1.4e-4 (Ez)
     # 1M-draw fixed_weight beam from a different RNG stream: statistical
     # agreement (~N^-1/2) only
     ("hosing.2Rank",
@@ -199,20 +211,20 @@ CASES = [
      # growth (sum|x|) itself is pinned at that tolerance, which a run
      # without the instability fails by ~16x
      1e-1, SXSYCHI + ("jz", "rho", "jx_beam", "jy_beam", "Bz"),
-     ("ux", "uy")),
+     ("ux", "uy")),  # cross-RNG + instability; measured 7.0e-2 (Ez)
     ("laser_evolution.SI.2Rank",
      f"{REF}/examples/laser/inputs_SI",
-     ["lasers.solver_type=fft"], 5e-3, (), True),
+     ["lasers.solver_type=fft"], 1e-5, (), True),  # measured 0
     ("beam_in_vacuum.normalized.1Rank",
      f"{REF}/examples/beam_in_vacuum/inputs_normalized",
      ["hipace.depos_order_xy=0", "diagnostic.field_data=all rho",
       "hipace.MG_tolerance_rel=1e-5"],
-     5e-3, (), False),
+     6e-4, (), False),  # measured 1.9e-4 (By)
     ("beam_in_vacuum.SI.1Rank",
      f"{REF}/examples/beam_in_vacuum/inputs_SI",
      ["hipace.depos_order_xy=0", "diagnostic.field_data=all rho",
       "hipace.MG_tolerance_rel=1e-5"],
-     5e-3, (), False),
+     1e-5, (), False),  # measured 0
     # the full 1023^2 x 1000-slice bench deck: heavy on CPU (~10 min),
     # run with -k transverse explicitly or as part of the full suite
     ("transverse_benchmark.1Rank",
