@@ -148,10 +148,17 @@ class MultiGrid:
         self.acf_den = []
         rmat = _restrict_matrix_cc if self.cell_centered else \
             _restrict_matrix_nd
+        # numpy copies kept for FusedMG (ops/pallas_mg.py), which pads
+        # them host-side: under jit tracing jnp arrays are tracers and
+        # cannot round-trip through numpy
+        self.Ry_np = []
+        self.Rx_np = []
         for lev in range(self.nlevels - 1):
             n_y, n_x = self.shapes[lev]
             ry = rmat(n_y)
             rx = rmat(n_x)
+            self.Ry_np.append(ry)
+            self.Rx_np.append(rx)
             self.Ry.append(jnp.asarray(ry, rdt))
             self.Rx.append(jnp.asarray(rx, rdt))
             if not self.cell_centered:

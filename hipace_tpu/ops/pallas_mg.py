@@ -188,10 +188,10 @@ class FusedMG:
             cy, cx = self.pshapes[lev + 1]
             ry = np.zeros((cy, fy), rdt)
             rx = np.zeros((cx, fx), rdt)
-            ry[:mg.Ry[lev].shape[0], :mg.Ry[lev].shape[1]] = \
-                np.asarray(mg.Ry[lev], np.float64)
-            rx[:mg.Rx[lev].shape[0], :mg.Rx[lev].shape[1]] = \
-                np.asarray(mg.Rx[lev], np.float64)
+            ry[:mg.Ry_np[lev].shape[0], :mg.Ry_np[lev].shape[1]] = \
+                mg.Ry_np[lev]
+            rx[:mg.Rx_np[lev].shape[0], :mg.Rx_np[lev].shape[1]] = \
+                mg.Rx_np[lev]
             self.Ryp.append(jnp.asarray(ry))
             self.Rxp.append(jnp.asarray(rx))
 
