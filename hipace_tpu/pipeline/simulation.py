@@ -246,6 +246,7 @@ class Simulation:
                                        SimConfig.beam_pallas_h, int),
             slip_cap=inputs.query("hipace.slip_cap", 64, int),
             beam_chunk=inputs.query("hipace.beam_chunk", 0, int),
+            beam_buckets=inputs.query("hipace.beam_buckets", 4, int),
             # ref plasmas.reorder_period (PlasmaParticleContainer sorting
             # cadence) maps to the banded sort period on TPU. 0 = auto:
             # 2 when no species ionizes (measured 42.4 vs 38.6 slices/s at

@@ -253,6 +253,15 @@ class SimConfig:
     # 20x slower); enable on directly-attached TPUs where loop iterations
     # are ~us.
     beam_chunk: int = 0
+    # occupancy buckets for beam ops: the per-slice beam arrays are sized
+    # to the PEAK slice (gaussian beams: ~15% mean occupancy), so every
+    # beam op is wrapped in a lax.switch over a halving ladder of static
+    # lane prefixes (beam.py prefix_ladder/prefix_apply) selected by the
+    # slice's live count — work scales with ceil-to-bucket occupancy
+    # (< 2x waste) instead of capacity (~6x). Unlike hipace.beam_chunk
+    # this is a single device-side conditional per op (~5 us measured on
+    # v5e through the axon tunnel), so it is ON by default. 1 = off.
+    beam_buckets: int = 4
     # transverse mesh refinement levels (fields/mr.py MRLevel tuple,
     # ref Hipace.cpp:327-374; amr.max_level + mr_lev<N>.* parameters)
     mr_levels: tuple = ()
@@ -420,7 +429,7 @@ def _rel_b_field_error(bx, by, bx_it, by_it, geom):
 
 
 def _pc_bxby_solve(f, plasmas, beam_next, cfg: SimConfig, solver, ob=None,
-                   mrctx=None, beam_n_active=None):
+                   mrctx=None, beam_n_active=None, beam_prefix=None):
     """PredictorCorrectorLoopToSolveBxBy (ref Hipace.cpp:936-1031).
 
     mrctx (mesh refinement): (mr, couplers, fine_solvers, fine_f, actives,
@@ -537,7 +546,8 @@ def _pc_bxby_solve(f, plasmas, beam_next, cfg: SimConfig, solver, ob=None,
                                             nxt, g, bcfg, pc, order,
                                             cfg.normalized_units,
                                             chunk=cfg.beam_chunk,
-                                            n_active=beam_n_active)
+                                            n_active=beam_n_active,
+                                            prefix=beam_prefix)
             for i in range(len(mr)):
                 bmask = in_level_bounds(beam_next["x"], beam_next["y"],
                                         mr[i].geom) & actives[i]
@@ -545,7 +555,8 @@ def _pc_bxby_solve(f, plasmas, beam_next, cfg: SimConfig, solver, ob=None,
                     beam_next, {"jx": "jx", "jy": "jy"}, fnxt[i],
                     mr[i].geom, cfg.beams, pc, order, cfg.normalized_units,
                     extra_mask=bmask, geom0=g,
-                    chunk=cfg.beam_chunk, n_active=beam_n_active)
+                    chunk=cfg.beam_chunk, n_active=beam_n_active,
+                    prefix=beam_prefix)
         # SolvePoissonBxBy (ref Fields.cpp:1008-1078)
         rhs_bx = rhs_bx_static + pc.mu0 * dz2_inv * (
             prev_jy_i - sl.interior(nxt["jy"], g))
@@ -977,13 +988,21 @@ def make_slice_step(cfg: SimConfig, dtype):
         plasmas = new_plasmas
 
         # ---- beam deposit on This (pre-push)
-        # occupancy counts for chunked beam ops (valid lanes are compacted
-        # at the front by bin_beam's rank order)
+        # occupancy counts for chunked/bucketed beam ops (valid lanes are
+        # compacted at the front by bin_beam's rank order)
         bchunk = cfg.beam_chunk
+        buckets = 0 if bchunk else max(1, cfg.beam_buckets)
+        count_needed = cfg.beams and (bchunk or buckets > 1)
         cnt_this = (jnp.sum(xs["beam_this"]["valid"])
-                    if (cfg.beams and bchunk) else None)
+                    if count_needed else None)
         cnt_next = (jnp.sum(xs["beam_next"]["valid"])
-                    if (cfg.beams and bchunk) else None)
+                    if count_needed else None)
+        if cfg.beams and buckets > 1:
+            bcap = xs["beam_this"]["valid"].shape[0]
+            dep_prefix = bm.prefix_ladder(bcap, buckets)
+            adv_prefix = bm.prefix_ladder(cfg.slip_cap + bcap, buckets)
+        else:
+            dep_prefix = adv_prefix = None
         if cfg.beams:
             if cfg.explicit:
                 cmap = {"jz": "jz_beam"}
@@ -997,7 +1016,8 @@ def make_slice_step(cfg: SimConfig, dtype):
             this = bm.deposit_beam_slice(
                 xs["beam_this"], cmap, this, g, cfg.beams, pc,
                 order, cfg.normalized_units,
-                chunk=bchunk, n_active=cnt_this, banded=beam_banded)
+                chunk=bchunk, n_active=cnt_this, banded=beam_banded,
+                prefix=dep_prefix)
 
         # ---- MR: fine-level deposits (deposit predicate tag >= lev,
         # ref PlasmaDepositCurrent.cpp:130) + boundary compensation
@@ -1038,7 +1058,8 @@ def make_slice_step(cfg: SimConfig, dtype):
                         xs["beam_this"], fcmap, fth, lv.geom,
                         cfg.beams, pc, order, cfg.normalized_units,
                         extra_mask=bmask, geom0=g,
-                        chunk=bchunk, n_active=cnt_this)
+                        chunk=bchunk, n_active=cnt_this,
+                        prefix=dep_prefix)
                 # AddRhoIons on the fine level
                 fth = dict(fth)
                 fth["rhomjz"] = fth["rhomjz"] \
@@ -1142,7 +1163,8 @@ def make_slice_step(cfg: SimConfig, dtype):
                 nxt = bm.deposit_beam_slice(
                     xs["beam_next"], {"jx": "jx_beam", "jy": "jy_beam"},
                     f["Next"], g, cfg.beams, pc, order, cfg.normalized_units,
-                    chunk=bchunk, n_active=cnt_next, banded=beam_banded)
+                    chunk=bchunk, n_active=cnt_next, banded=beam_banded,
+                    prefix=dep_prefix)
                 f = dict(f, Next=nxt)
             f = _init_sx_sy_with_beam(f, cfg)
             this = f["This"]
@@ -1220,7 +1242,8 @@ def make_slice_step(cfg: SimConfig, dtype):
                             {"jx": "jx_beam", "jy": "jy_beam"},
                             fl["Next"], fg, cfg.beams, pc, order,
                             cfg.normalized_units, extra_mask=bmask, geom0=g,
-                            chunk=bchunk, n_active=cnt_next)
+                            chunk=bchunk, n_active=cnt_next,
+                            prefix=dep_prefix)
                     fl = dict(fl, **{"This": fl["This"]})
                     if cfg.salame_active and cfg.beams:
                         # redeposit This jz_beam with the (possibly
@@ -1235,7 +1258,8 @@ def make_slice_step(cfg: SimConfig, dtype):
                             xs["beam_this"], {"jz": "jz_beam"}, fl_this, fg,
                             cfg.beams, pc, order, cfg.normalized_units,
                             extra_mask=bmask_t, geom0=g,
-                            chunk=bchunk, n_active=cnt_this)
+                            chunk=bchunk, n_active=cnt_this,
+                            prefix=dep_prefix)
                         fl = dict(fl, This=fl_this)
                     tmp = _init_sx_sy_with_beam(
                         {"This": fl["This"], "Previous": fl["Previous"],
@@ -1290,7 +1314,7 @@ def make_slice_step(cfg: SimConfig, dtype):
                       plasma_tags) if mr else None)
             f, pc_err, pc_iters = _pc_bxby_solve(
                 f, plasmas, xs["beam_next"], cfg, solver, ob, mrctx=mrctx,
-                beam_n_active=cnt_next)
+                beam_n_active=cnt_next, beam_prefix=dep_prefix)
             this = f["This"]
 
         # ---- per-slice diagnostics (ref Diagnostic.cpp + Fields::Copy)
@@ -1399,8 +1423,8 @@ def make_slice_step(cfg: SimConfig, dtype):
                     (fine_f[i]["This"], lv.geom, actives[i])
                     for i, lv in enumerate(mr)) if mr else ()),
                 chunk=bchunk,
-                n_active=(cfg.slip_cap + cnt_this) if bchunk else None,
-                banded=beam_banded)
+                n_active=(cfg.slip_cap + cnt_this) if count_needed else None,
+                banded=beam_banded, prefix=adv_prefix)
             # particles that stopped mid-subcycles slip to the carry buffer.
             # Multi-operand stable sort (argsort + gather is ~17x slower on
             # TPU), in a 0/1-trip while_loop so slices with nothing slipped
