@@ -31,6 +31,11 @@ class Simulation:
     """End-to-end simulation (ref main.cpp:15-25: InitData + Evolve)."""
 
     def __init__(self, inputs: Inputs, dtype=None, verbose: int | None = None):
+        # persistent XLA compilation cache: production steps compile ~10
+        # min cold on the tunneled v5e (beam_buckets branches); cached
+        # reloads take seconds (utils/backend.py)
+        from ..utils.backend import enable_compilation_cache
+        enable_compilation_cache()
         self.inputs = inputs
         self.normalized_units = inputs.query("hipace.normalized_units", False, bool)
         self.pc = make_constants(self.normalized_units)
