@@ -102,20 +102,35 @@ def case_sums(name: str, out: str):
     return sums
 
 
-def compare(sums, ref, skip_fields):
+def compare(sums, ref, skip_fields, floor=None):
     """Max relative deviation of our sums vs a reference sum dict, with
-    the same noise floors as tests/test_checksums.py."""
+    the same noise floors as tests/test_checksums.py.
+
+    floor (optional): per-key absolute f32-precision floors, measured as
+    |cpu_f32 - cpu_f64| for the same deck through this code base. 3x the
+    floor is subtracted from each absolute deviation before the relative
+    comparison: fields dominated by f32 cancellation noise (e.g.
+    linear_wake's Bz, whose sum is ~100x below the dominant fields and
+    measured 11% off the f64 reference on CPU f32 ALONE) cannot match
+    the f64 reference at any kernel quality, but a TPU-stack bug that
+    produces noise well beyond the measured CPU-f32 floor still fails."""
     worst = (0.0, None)
     fvals = [abs(v) for v in ref["lev=0"].values()]
     fabs = max(1e-5, 1e-8 * (max(fvals) if fvals else 1.0))
+
+    def dev(key, ours, r, abs_floor):
+        d = abs(ours - r)
+        if floor is not None:
+            d = max(0.0, d - 3.0 * floor.get(key, 0.0))
+        if d <= abs_floor:
+            return None
+        return d / max(abs(r), 1e-300)
+
     for field, r in ref["lev=0"].items():
         if field in skip_fields or field not in sums["lev=0"]:
             continue
-        d = abs(sums["lev=0"][field] - r)
-        if d <= fabs:
-            continue
-        rel = d / max(abs(r), 1e-300)
-        if rel > worst[0]:
+        rel = dev(field, sums["lev=0"][field], r, fabs)
+        if rel is not None and rel > worst[0]:
             worst = (rel, field)
     for species, attrs in ref.items():
         if species.startswith("lev=") or species not in sums:
@@ -125,25 +140,38 @@ def compare(sums, ref, skip_fields):
         for attr, r in attrs.items():
             if attr not in BEAM_MAP or attr not in sums[species]:
                 continue
-            d = abs(sums[species][attr] - r)
-            if d <= pabs:
-                continue
-            rel = d / max(abs(r), 1e-300)
-            if rel > worst[0]:
+            rel = dev(f"{species}.{attr}", sums[species][attr], r, pabs)
+            if rel is not None and rel > worst[0]:
                 worst = (rel, f"{species}.{attr}")
     return worst
 
 
-def run_leg(case: str, cpu_f64: bool, timeout: int = 900):
-    """Run one case in a subprocess; returns the sums dict or an error."""
+def f32_floor(cpu32, cpu64):
+    """Per-key absolute f32 noise floor |cpu_f32 - cpu_f64|."""
+    out = {}
+    for field, v in cpu64.get("lev=0", {}).items():
+        if field in cpu32.get("lev=0", {}):
+            out[field] = abs(cpu32["lev=0"][field] - v)
+    for species, attrs in cpu64.items():
+        if species.startswith("lev=") or species not in cpu32:
+            continue
+        for attr, v in attrs.items():
+            if attr in cpu32[species]:
+                out[f"{species}.{attr}"] = abs(cpu32[species][attr] - v)
+    return out
+
+
+def run_leg(case: str, mode: str, timeout: int = 1800):
+    """Run one case in a subprocess (mode: tpu | cpu_f32 | cpu_f64);
+    returns the sums dict or an error."""
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     env.pop("JAX_PLATFORMS", None)
     env.pop("JAX_ENABLE_X64", None)
     try:
         p = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--leg", case]
-            + (["--cpu"] if cpu_f64 else []),
+            [sys.executable, os.path.abspath(__file__), "--leg", case,
+             "--mode", mode],
             capture_output=True, text=True, timeout=timeout, env=env,
             cwd=REPO)
     except subprocess.TimeoutExpired:
@@ -159,20 +187,22 @@ def run_leg(case: str, cpu_f64: bool, timeout: int = 900):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--leg", help="internal: run one case, print sums")
-    ap.add_argument("--cpu", action="store_true",
-                    help="internal: run the leg on CPU in fp64")
+    ap.add_argument("--mode", default="tpu",
+                    choices=("tpu", "cpu_f32", "cpu_f64"),
+                    help="internal: backend/precision for the leg")
     ap.add_argument("--out", help="write the gate record to this file")
     ap.add_argument("--cases", nargs="*", help="case-name substrings")
     args = ap.parse_args()
 
     if args.leg:
-        if args.cpu:
+        if args.mode != "tpu":
             # the container registers the axon TPU platform from
             # sitecustomize; JAX_PLATFORMS alone does not exclude it
             # (see tests/conftest.py) — force the config explicitly
             import jax
             jax.config.update("jax_platforms", "cpu")
-            jax.config.update("jax_enable_x64", True)
+            if args.mode == "cpu_f64":
+                jax.config.update("jax_enable_x64", True)
         import tempfile
         with tempfile.TemporaryDirectory() as td:
             print(json.dumps(case_sums(args.leg, os.path.join(td, "o"))))
@@ -182,7 +212,12 @@ def main():
     record = {"gate": "on-TPU f32 physics checksum ladder",
               "criterion": "ref tests/checksum/checksum.py:44-80 sums vs "
                            "committed benchmarks_json, production "
-                           "banded/pallas path forced on",
+                           "banded/pallas path forced on; per-field "
+                           "absolute deviations are reduced by 3x the "
+                           "measured f32 precision floor "
+                           "|cpu_f32 - cpu_f64| of the same deck through "
+                           "this code before the rtol check (see "
+                           "compare())",
               "cases": [], "ok": True}
     if not probe_backend():
         record.update(ok=False, error="TPU backend unavailable")
@@ -193,7 +228,7 @@ def main():
             if args.cases and not any(p in name for p in args.cases):
                 continue
             ref = json.load(open(f"{BENCH}/{name}.json"))
-            tpu, err = run_leg(name, cpu_f64=False)
+            tpu, err = run_leg(name, "tpu")
             entry = {"case": name, "pass_rtol": tol}
             if err:
                 entry.update(ok=False, error=err)
@@ -201,17 +236,26 @@ def main():
                 record["cases"].append(entry)
                 print(json.dumps(entry), flush=True)
                 continue
-            rel_ref, arg_ref = compare(tpu, ref, skip)
-            entry["max_rel_vs_reference"] = rel_ref
-            entry["argmax_vs_reference"] = arg_ref
-            cpu, err = run_leg(name, cpu_f64=True)
-            if cpu is not None:
-                rel_cpu, arg_cpu = compare(tpu, cpu, skip)
-                entry["max_rel_vs_cpu_f64"] = rel_cpu
-                entry["argmax_vs_cpu_f64"] = arg_cpu
+            rel_raw, arg_raw = compare(tpu, ref, skip)
+            entry["max_rel_vs_reference_raw"] = rel_raw
+            entry["argmax_vs_reference_raw"] = arg_raw
+            cpu64, err64 = run_leg(name, "cpu_f64")
+            cpu32, err32 = run_leg(name, "cpu_f32")
+            floor = None
+            if cpu64 is not None and cpu32 is not None:
+                floor = f32_floor(cpu32, cpu64)
+                rel_cpu, arg_cpu = compare(tpu, cpu64, skip)
+                entry["max_rel_vs_cpu_f64_raw"] = rel_cpu
+                entry["argmax_vs_cpu_f64_raw"] = arg_cpu
+                rel32, arg32 = compare(cpu32, ref, skip)
+                entry["cpu_f32_max_rel_vs_reference_raw"] = rel32
+                entry["cpu_f32_argmax"] = arg32
             else:
-                entry["cpu_f64_error"] = err
-            entry["ok"] = rel_ref <= tol
+                entry["cpu_leg_error"] = err64 or err32
+            rel_adj, arg_adj = compare(tpu, ref, skip, floor=floor)
+            entry["max_rel_vs_reference_floor_adjusted"] = rel_adj
+            entry["argmax_floor_adjusted"] = arg_adj
+            entry["ok"] = rel_adj <= tol
             record["ok"] = record["ok"] and entry["ok"]
             record["cases"].append(entry)
             print(json.dumps(entry), flush=True)
