@@ -162,13 +162,21 @@ def _pad_particles(S, ym, xm, *arrays, sentinel):
 
 
 def _anchors_wide(ym, xm, NYP, NXP, order, deriv_type, W, WXS, S):
-    """Per-sub-chunk window anchors and the y-overflow mask.
+    """Per-sub-chunk window anchors and the y-overflow masks.
 
     ym/xm (N,) guard-offset cell positions (invalid lanes = sentinel
     >= 2*NYP, sorted to the tail). Returns (ay (nsub,) 8-aligned,
-    ax (nsub,) unaligned, ywide (nsub, S)). Lanes with ywide go to the
-    caller-side corrective pass (possible only from post-sort transverse
-    motion or sort_period > 1 drift); x-overflow lanes are handled
+    ax (nsub,) unaligned, ay2 (nsub,) 8-aligned second anchor,
+    ywide (nsub, S) first-window miss, ywide2 (nsub, S) both-window
+    miss, alive (nsub,)).
+
+    ywide lanes (post-sort transverse motion or sort_period > 1 drift)
+    cluster in adjacent rows, so a SECOND window anchored at their own
+    min row covers almost all of them; the gather kernel resolves
+    ywide & ~ywide2 lanes in-kernel (this was the dominant per-slice
+    cost in the round-5 bench trace: ~1 superchunk/slice fell to the
+    exact-gather corrective at ~10 ms a firing). Only ywide2 lanes go
+    to the caller-side corrective pass. x-overflow lanes are handled
     in-kernel by the full-row fallback.
     """
     N = ym.shape[0]
@@ -188,11 +196,17 @@ def _anchors_wide(ym, xm, NYP, NXP, order, deriv_type, W, WXS, S):
     ax = jnp.clip(ax, 0, max(NXP - WXS - 1, 0))
     rely = iy0 - ay[:, None]
     ywide = ((rely < 0) | (rely + m > W)) & live
+    # second window from the missed lanes' own min row (handed to the
+    # gather kernel as a prefetch scalar)
+    ay2 = jnp.min(jnp.where(ywide, iy0, NYP), axis=1)
+    ay2 = jnp.clip((ay2 // 8) * 8, 0, max(NYP - W, 0))
+    rely2 = iy0 - ay2[:, None]
+    ywide2 = ((rely2 < 0) | (rely2 + m > W)) & ywide
     # per-sub-chunk occupancy flag: all-sentinel sub-chunks (tail padding;
     # beam slices run at ~15% occupancy) skip the weight build + dots
     # entirely in-kernel
     alive = jnp.any(live, axis=1).astype(jnp.int32)
-    return ay, ax, ywide, alive
+    return ay, ax, ay2, ywide, ywide2, alive
 
 
 # ----------------------------------------------------------------------
@@ -431,9 +445,12 @@ def _deposit_common(fields, ym, xm, val_list, NY, NX, order, deriv_type,
     ym, xm = pad[1], pad[2]
     val_list = list(pad[3:])
     NYP, NXP = _pad_shape(NY, NX)
-    ay, ax, ywide, alive = _anchors_wide(ym, xm, NYP, NXP, order,
-                                         deriv_type, min(W, NYP),
-                                         min(WXS, NXP), S)
+    ay, ax, _ay2, ywide, _ywide2, alive = _anchors_wide(
+        ym, xm, NYP, NXP, order, deriv_type, min(W, NYP),
+        min(WXS, NXP), S)
+    # the deposit kernel has no second-window pass (its corrective cost
+    # was ~0.1% of device time in the round-5 trace); it patches all
+    # first-window misses
     delta = _deposit_delta(ym, xm, val_list, NY, NX, order, deriv_type,
                            blocks, W, WXS, S, h, precision,
                            interpret, (ay, ax, alive))
@@ -499,7 +516,7 @@ def pallas_deposit_blocks(fields, ym, xm, values_cn, blocks, NY, NX,
 # ----------------------------------------------------------------------
 # fused main-fields gather
 # ----------------------------------------------------------------------
-def _gather_main_kernel(ay_ref, ax_ref, alive_ref, ym_ref, xm_ref,
+def _gather_main_kernel(ay_ref, ax_ref, ay2_ref, alive_ref, ym_ref, xm_ref,
                         stack_ref, exmby_ref, eypbx_ref, ez_ref, bx_ref,
                         by_ref, bz_ref, *, order, W, WXS, S, NYP, NXP,
                         precision, interpret):
@@ -515,13 +532,14 @@ def _gather_main_kernel(ay_ref, ax_ref, alive_ref, ym_ref, xm_ref,
     def _():
         ay = ay_ref[i]
         ax = ax_ref[i]
-        _gather_main_body(ay, ax, ym_ref, xm_ref, stack_ref,
+        ay2 = ay2_ref[i]
+        _gather_main_body(ay, ax, ay2, ym_ref, xm_ref, stack_ref,
                           out_refs, order=order, W=W, WXS=WXS, S=S,
                           NYP=NYP, NXP=NXP, precision=precision,
                           interpret=interpret)
 
 
-def _gather_main_body(ay, ax, ym_ref, xm_ref, stack_ref,
+def _gather_main_body(ay, ax, ay2, ym_ref, xm_ref, stack_ref,
                       out_refs, *, order, W, WXS, S, NYP, NXP, precision,
                       interpret):
     (exmby_ref, eypbx_ref, ez_ref, bx_ref, by_ref, bz_ref) = out_refs
@@ -540,14 +558,16 @@ def _gather_main_body(ay, ax, ym_ref, xm_ref, stack_ref,
     ayd = pl.multiple_of(ay, 8)
     full_row = WXS >= NXP
 
-    def emit(lane_mask, win, xbase, width, first):
+    def emit(lane_mask, win, xbase, width, first, aybase=None):
         """Gather against win (5, W, width) with x-weights anchored at
-        xbase; write lanes in lane_mask (overwrite others when first)."""
+        xbase and y-weights at aybase (default: the primary anchor ay);
+        write lanes in lane_mask (overwrite others when first)."""
         mf = lane_mask.astype(ym.dtype)
+        yb = ay if aybase is None else aybase
         # nodal (deriv_type=1) shape + derivative factors, like
         # banded_gather_main (ref FieldGather.H:45-97)
-        wyt = _wmat(ym, rows, ay, order, 1, "w") * mf
-        dwyt = _wmat(ym, rows, ay, order, 1, "dw") * mf
+        wyt = _wmat(ym, rows, yb, order, 1, "w") * mf
+        dwyt = _wmat(ym, rows, yb, order, 1, "dw") * mf
         cols = jax.lax.broadcasted_iota(jnp.int32, (width, S), 0)
         wxt = _wmat(xm, cols, xbase, order, 1, "w")
         dwxt = _wmat(xm, cols, xbase, order, 1, "dw")
@@ -562,9 +582,29 @@ def _gather_main_body(ay, ax, ym_ref, xm_ref, stack_ref,
         for ref, val in zip(refs, (e, p) + tuple(rs)):
             ref[0] = val if first else jnp.where(lane_mask, val, ref[0])
 
+    def emit_y2(ymiss):
+        """Second-window pass: lanes the primary y-window missed
+        (post-sort motion / sort-period drift) gather against a second
+        W-row window anchored at their own min row (ay2, precomputed in
+        _anchors_wide), full row width. Resolves nearly all former
+        corrective-pass lanes in-kernel — the exact-gather corrective
+        was the top per-slice cost in the round-5 bench trace. Residual
+        lanes (span > W even from ay2) stay masked for the wrapper's
+        corrective (ywide2)."""
+        rely2 = iy0 - ay2
+        oky2 = (rely2 >= 0) & (rely2 + m <= W) & ymiss
+        ay2d = pl.multiple_of(ay2, 8)
+        emit(oky2, stack_ref[:, pl.ds(ay2d, W), :], 0, NXP, False,
+             aybase=ay2)
+
     if full_row:
         win = stack_ref[:, pl.ds(ayd, W), :]
         emit(oky, win, 0, NXP, True)
+        ymiss = live & ~oky
+
+        @pl.when(jnp.any(ymiss))
+        def _():
+            emit_y2(ymiss)
         return
 
     # roll trick: read the 128-aligned (WXS + 128)-wide window and rotate
@@ -583,6 +623,12 @@ def _gather_main_body(ay, ax, ym_ref, xm_ref, stack_ref,
     @pl.when(jnp.any(misx))
     def _():
         emit(misx, stack_ref[:, pl.ds(ayd, W), :], 0, NXP, False)
+
+    ymiss = live & ~oky
+
+    @pl.when(jnp.any(ymiss))
+    def _():
+        emit_y2(ymiss)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -603,15 +649,15 @@ def pallas_gather_main(stack, ym, xm, NY, NX, order,
     NYP, NXP = _pad_shape(NY, NX)
     W = min(W, NYP)
     WXS = min(WXS, NXP)
-    ay, ax, ywide, alive = _anchors_wide(ym, xm, NYP, NXP, order, 1,
-                                         W, WXS, S)
+    ay, ax, ay2, _ywide1, ywide, alive = _anchors_wide(
+        ym, xm, NYP, NXP, order, 1, W, WXS, S)
     stackp = jnp.pad(stack, ((0, 0), (0, NYP - NY), (0, NXP - NX)))
     ymc = ym.reshape(nsub, 1, S)
     xmc = xm.reshape(nsub, 1, S)
 
     spec = pl.BlockSpec((1, 1, S), lambda i, *_: (i, 0, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(nsub,),
         in_specs=[spec, spec,
                   pl.BlockSpec((5, NYP, NXP), lambda i, *_: (0, 0, 0))],
@@ -629,7 +675,7 @@ def pallas_gather_main(stack, ym, xm, NY, NX, order,
         interpret=interp,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=112 * 1024 * 1024),
-    )(ay, ax, alive, ymc, xmc, stackp)
+    )(ay, ax, ay2, alive, ymc, xmc, stackp)
     exmby, eypbx = outs[0].reshape(N), outs[1].reshape(N)
     rest = jnp.stack([o.reshape(N) for o in outs[2:]], axis=-1)
 

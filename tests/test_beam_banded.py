@@ -184,7 +184,7 @@ def test_stripe_aligned_sort_no_overflow():
     ym, xm = bm._beam_cell_pos(out["x"], out["y"], out["valid"], geom)
     NY, NX = geom.slice_shape
     NYP, NXP = _pad_shape(NY, NX)
-    _ay, _ax, ywide, alive = _anchors_wide(
+    _ay, _ax, _ay2, ywide, _ywide2, alive = _anchors_wide(
         ym, xm, NYP, NXP, 2, 1, W, min(256, NXP), S)
     assert int(jnp.sum(ywide)) == 0
     # each live sub-chunk holds lanes of exactly one stripe

@@ -125,8 +125,8 @@ def test_pallas_deposit_corrective_pass_clumped():
                                               _pad_shape)
     NYP, NXP = _pad_shape(NY, NX)
     S, WXS = 256, min(64, NXP)
-    ay, ax, _yw, _alive = _anchors_wide(ym, xm, NYP, NXP, order, -1,
-                                        32, WXS, S)
+    ay, ax, _ay2, _yw, _yw2, _alive = _anchors_wide(
+        ym, xm, NYP, NXP, order, -1, 32, WXS, S)
     relx = _i0(xm.reshape(-1, S), order, -1) - ax[:, None]
     live = ym.reshape(-1, S) < 1.5 * NYP
     assert int(jnp.sum(live & ((relx < 0) | (relx + 3 > WXS)))) > 0
@@ -227,6 +227,48 @@ def test_pallas_gather_main_corrective_clumped():
     for g, r in zip(got[:6], ref[:6]):
         np.testing.assert_allclose(np.asarray(g), np.asarray(r),
                                    rtol=1e-10, atol=1e-12)
+
+
+def test_pallas_gather_main_y_drift():
+    """Post-sort transverse motion: y positions perturbed AFTER the
+    stripe-snake sort, so sub-chunk row spans blow past the first
+    window. Most lanes must be resolved by the in-kernel second-window
+    pass (anchored at the missed lanes' own min row); the rest by the
+    wrapper corrective. Result pinned exact either way."""
+    NY, NX = 134, 134
+    N, h, order = 8192, 8, 2
+    ym, xm = _make_particles(31, N, NY, NX, h)
+    # drift: ~6% of lanes jump 30-60 rows (sheath-crossing scale),
+    # everyone else wobbles a little — mirrors sort_period=2 drift
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(37), 3)
+    live = ym < 1.5 * NY
+    jump = (jax.random.uniform(k1, (N,)) < 0.06) & live
+    dy = jnp.where(jump,
+                   jax.random.uniform(k2, (N,), jnp.float64, 30.0, 60.0)
+                   * jnp.sign(jax.random.normal(k3, (N,))),
+                   jax.random.normal(k2, (N,)) * 0.3)
+    ym = jnp.where(live, jnp.clip(ym + dy, 3.0, NY - 4.0), ym)
+    key = jax.random.PRNGKey(41)
+    stack_cm = jax.random.normal(key, (5, NY, NX), jnp.float64)
+    got = pallas_gather_main(stack_cm, ym, xm, NY, NX, order,
+                             W=32, WXS=64, S=256, interpret=True)
+    stack_lm = jnp.moveaxis(stack_cm, 0, -1)
+    ref = banded_gather_main(stack_lm, ym, xm, NY, NX, order,
+                             W=64, K=512)
+    for g, r in zip(got[:6], ref[:6]):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=1e-10, atol=1e-12)
+    # the second window really is exercised: some sub-chunk misses
+    # window 1, and at least one lane is resolved in-kernel (covered by
+    # window 2, not sent to the corrective)
+    from hipace_tpu.ops.pallas_banded import (_anchors_wide, _pad_shape,
+                                              _pad_particles)
+    NYP, NXP = _pad_shape(NY, NX)
+    _np_, ymp, xmp = _pad_particles(256, ym, xm, sentinel=2.0 * NY)
+    _, _, _, w1, w2, _ = _anchors_wide(ymp, xmp, NYP, NXP, order, 1,
+                                       32, 64, 256)
+    assert int(jnp.sum(w1)) > 0
+    assert int(jnp.sum(w1)) > int(jnp.sum(w2))
 
 
 def test_pallas_deposit_unpadded_n():
