@@ -172,10 +172,10 @@ def _anchors_wide(ym, xm, NYP, NXP, order, deriv_type, W, WXS, S):
 
     ywide lanes (post-sort transverse motion or sort_period > 1 drift)
     cluster in adjacent rows, so a SECOND window anchored at their own
-    min row covers almost all of them; the gather kernel resolves
-    ywide & ~ywide2 lanes in-kernel (this was the dominant per-slice
-    cost in the round-5 bench trace: ~1 superchunk/slice fell to the
-    exact-gather corrective at ~10 ms a firing). Only ywide2 lanes go
+    min row covers almost all of them; the gather AND deposit kernels
+    resolve ywide & ~ywide2 lanes in-kernel (the exact gather/scatter
+    correctives these replace were the two dominant per-slice costs in
+    the round-5 bench trace at ~10 ms a firing). Only ywide2 lanes go
     to the caller-side corrective pass. x-overflow lanes are handled
     in-kernel by the full-row fallback.
     """
@@ -251,8 +251,8 @@ def _roll_lanes(arr, shift, interpret):
 # ----------------------------------------------------------------------
 # deposit
 # ----------------------------------------------------------------------
-def _deposit_kernel(ay_ref, ax_ref, alive_ref, ym_ref, xm_ref, *refs,
-                    blocks, order, deriv_type, W, WXS, S,
+def _deposit_kernel(ay_ref, ax_ref, ay2_ref, alive_ref, ym_ref, xm_ref,
+                    *refs, blocks, order, deriv_type, W, WXS, S,
                     NYP, NXP, precision, interpret):
     """blocks: static tuple of (ykind, xkind, ci) channel blocks sharing
     the particle positions. One dot per distinct xkind; channels land in
@@ -272,13 +272,14 @@ def _deposit_kernel(ay_ref, ax_ref, alive_ref, ym_ref, xm_ref, *refs,
         # scalar loads
         ay = ay_ref[i]
         ax = ax_ref[i]
-        _deposit_body(ay, ax, ym_ref, xm_ref, val_refs, out_ref,
+        ay2 = ay2_ref[i]
+        _deposit_body(ay, ax, ay2, ym_ref, xm_ref, val_refs, out_ref,
                       blocks=blocks, order=order, deriv_type=deriv_type,
                       W=W, WXS=WXS, S=S, NYP=NYP, NXP=NXP,
                       precision=precision, interpret=interpret)
 
 
-def _deposit_body(ay, ax, ym_ref, xm_ref, val_refs, out_ref, *,
+def _deposit_body(ay, ax, ay2, ym_ref, xm_ref, val_refs, out_ref, *,
                   blocks, order, deriv_type, W, WXS, S,
                   NYP, NXP, precision, interpret):
     C = sum(ci for _, _, ci in blocks)
@@ -296,17 +297,19 @@ def _deposit_body(ay, ax, ym_ref, xm_ref, val_refs, out_ref, *,
     rows = jax.lax.broadcasted_iota(jnp.int32, (W, S), 0)
     xkinds = tuple(dict.fromkeys(xk for _, xk, _ in blocks))
 
-    def contrib_for(lane_mask, xbase, width):
+    def contrib_for(lane_mask, xbase, width, aybase=None):
         """(C, W, width) contribution: one dot per distinct xkind,
-        reassembled in block channel order."""
+        reassembled in block channel order. y-weights anchored at aybase
+        (default: the primary anchor ay)."""
         mf = lane_mask.astype(ym.dtype)
+        yb = ay if aybase is None else aybase
         cols = jax.lax.broadcasted_iota(jnp.int32, (width, S), 0)
         wyts = {}
         parts = {}
         c0 = 0
         for yk, xk, ci in blocks:
             if yk not in wyts:
-                wyts[yk] = _wmat(ym, rows, ay, order, deriv_type, yk) * mf
+                wyts[yk] = _wmat(ym, rows, yb, order, deriv_type, yk) * mf
             parts.setdefault(xk, []).append(
                 (c0, [wyts[yk] * val_refs[c][0]
                       for c in range(c0, c0 + ci)]))
@@ -325,13 +328,34 @@ def _deposit_body(ay, ax, ym_ref, xm_ref, val_refs, out_ref, *,
                 r0 += ci * W
         return jnp.concatenate(pieces, axis=0)        # (C, W, width)
 
+    def deposit_y2(ymiss):
+        """Second-window pass: lanes the primary y-window missed deposit
+        into a W-row window anchored at their own min row (ay2,
+        precomputed in _anchors_wide), full row width. The exact-scatter
+        corrective this replaces fired ~13 superchunks/slice at ~10 ms a
+        firing in the round-5 bench trace (fusion.73 = the C=13 fused
+        plasma deposit's corrective scatter); this pass is one extra
+        predicated MXU dot (~20 us). Residual lanes (span > W even from
+        ay2) stay masked for the wrapper's corrective (ywide2)."""
+        rely2 = iy0 - ay2
+        oky2 = (rely2 >= 0) & (rely2 + m <= W) & ymiss
+        c2 = contrib_for(oky2, 0, NXP, aybase=ay2)
+        ay2d = pl.multiple_of(ay2, 8)
+        cur = out_ref[:, pl.ds(ay2d, W), :]
+        out_ref[:, pl.ds(ay2d, W), :] = cur + c2
+
     ayd = pl.multiple_of(ay, 8)
     full_row = WXS >= NXP
     if full_row:
-        # narrow grids: one full-width window, no roll, no fallback
+        # narrow grids: one full-width window, no roll, no x fallback
         contrib = contrib_for(oky, 0, NXP)
         cur = out_ref[:, pl.ds(ayd, W), :]
         out_ref[:, pl.ds(ayd, W), :] = cur + contrib
+        ymiss = live & ~oky
+
+        @pl.when(jnp.any(ymiss))
+        def _():
+            deposit_y2(ymiss)
         return
 
     contrib = contrib_for(oky & okx, ax, WXS)         # (C, W, WXS)
@@ -358,6 +382,12 @@ def _deposit_body(ay, ax, ym_ref, xm_ref, val_refs, out_ref, *,
         cur = out_ref[:, pl.ds(ayd, W), :]
         out_ref[:, pl.ds(ayd, W), :] = cur + c2
 
+    ymiss = live & ~oky
+
+    @pl.when(jnp.any(ymiss))
+    def _():
+        deposit_y2(ymiss)
+
 
 def _deposit_delta(ym, xm, val_list, NY, NX, order, deriv_type, blocks,
                    W, WXS, S, h, precision, interpret, anchors):
@@ -369,14 +399,14 @@ def _deposit_delta(ym, xm, val_list, NY, NX, order, deriv_type, blocks,
     NYP, NXP = _pad_shape(NY, NX)
     W = min(W, NYP)
     WXS = min(WXS, NXP)
-    ay, ax, alive = anchors
+    ay, ax, ay2, alive = anchors
     ymc = ym.reshape(nsub, 1, S)
     xmc = xm.reshape(nsub, 1, S)
     vcs = [v.reshape(nsub, 1, S) for v in val_list]
 
     spec = pl.BlockSpec((1, 1, S), lambda i, *_: (i, 0, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(nsub,),
         in_specs=[spec, spec] + [spec] * C,
         out_specs=pl.BlockSpec((C, NYP, NXP), lambda i, *_: (0, 0, 0)),
@@ -393,7 +423,7 @@ def _deposit_delta(ym, xm, val_list, NY, NX, order, deriv_type, blocks,
         interpret=interp,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=112 * 1024 * 1024),
-    )(ay, ax, alive, ymc, xmc, *vcs)
+    )(ay, ax, ay2, alive, ymc, xmc, *vcs)
     return delta[:, :NY, :NX]
 
 
@@ -445,15 +475,12 @@ def _deposit_common(fields, ym, xm, val_list, NY, NX, order, deriv_type,
     ym, xm = pad[1], pad[2]
     val_list = list(pad[3:])
     NYP, NXP = _pad_shape(NY, NX)
-    ay, ax, _ay2, ywide, _ywide2, alive = _anchors_wide(
+    ay, ax, ay2, _ywide1, ywide, alive = _anchors_wide(
         ym, xm, NYP, NXP, order, deriv_type, min(W, NYP),
         min(WXS, NXP), S)
-    # the deposit kernel has no second-window pass (its corrective cost
-    # was ~0.1% of device time in the round-5 trace); it patches all
-    # first-window misses
     delta = _deposit_delta(ym, xm, val_list, NY, NX, order, deriv_type,
                            blocks, W, WXS, S, h, precision,
-                           interpret, (ay, ax, alive))
+                           interpret, (ay, ax, ay2, alive))
     acc = fields + delta
     acc = _corrective_deposit(acc, ym, xm, val_list, ywide, NY, NX, order,
                               deriv_type, blocks, S)

@@ -229,6 +229,39 @@ def test_pallas_gather_main_corrective_clumped():
                                    rtol=1e-10, atol=1e-12)
 
 
+def _drift_particles(NY, NX, N, h, seed=31):
+    """Stripe-sorted particles with post-sort y drift: ~6% of lanes jump
+    30-60 rows (sheath-crossing scale), the rest wobble — mirrors
+    sort_period=2 drift that blows sub-chunk row spans past the first
+    window."""
+    ym, xm = _make_particles(seed, N, NY, NX, h)
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(seed + 6), 3)
+    live = ym < 1.5 * NY
+    jump = (jax.random.uniform(k1, (N,)) < 0.06) & live
+    dy = jnp.where(jump,
+                   jax.random.uniform(k2, (N,), jnp.float64, 30.0, 60.0)
+                   * jnp.sign(jax.random.normal(k3, (N,))),
+                   jax.random.normal(k2, (N,)) * 0.3)
+    return jnp.where(live, jnp.clip(ym + dy, 3.0, NY - 4.0), ym), xm
+
+
+def test_pallas_deposit_y_drift():
+    """Post-sort y drift on the deposit path: the in-kernel second
+    window must absorb the miss lanes (formerly the exact-scatter
+    corrective, the round-5 top per-slice cost) with an exact result."""
+    NY, NX = 134, 134
+    N, h, order = 8192, 8, 2
+    ym, xm = _drift_particles(NY, NX, N, h, seed=43)
+    vals_cn = jnp.stack([jnp.ones(N, jnp.float64), xm + ym,
+                         jnp.cos(ym)])
+    F0 = jnp.zeros((3, NY, NX), jnp.float64)
+    got, _ = pallas_deposit(F0, ym, xm, vals_cn, NY, NX, order,
+                            W=32, WXS=64, S=256, interpret=True)
+    ref = _exact_deposit(ym, xm, vals_cn.T, NY, NX, order)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-10, atol=1e-12)
+
+
 def test_pallas_gather_main_y_drift():
     """Post-sort transverse motion: y positions perturbed AFTER the
     stripe-snake sort, so sub-chunk row spans blow past the first
